@@ -1,0 +1,143 @@
+"""Color schemes: the palette registry + dB/pan -> color mapping.
+
+TPU-first port of the reference `ColorScheme` GObject (src/colorscheme.rs):
+
+* `color_for` — the scalar CPU-path law (colorscheme.rs:55-71), used by the
+  golden model and tests.
+* `lookup_table` — the res x res RGBA LUT the GPU path samples
+  (colorscheme.rs:73-91).  Note the reference quirks we reproduce exactly:
+  channels are divided by **256** (not 255), and the pan axis is stored
+  reversed (`pan = 1 - j/(res-1)`).
+* `default_color_schemes` — the 19 named palettes (colorscheme.rs:125-151).
+
+On device the whole registry becomes one stacked `[P, R, R, 4]` f32 array so a
+per-stream palette index selects a scheme with a gather, no re-upload —
+the TPU equivalent of swapping the palette texture (gpu_spectrogram.rs:232-239).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from spectrogram_tpu.color.gradients import GRADIENTS, GradientFn, eval_u8
+
+MIN_DB = -70.0  # colorscheme.rs:16
+MAX_DB = -10.0  # colorscheme.rs:17
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorScheme:
+    name: str
+    gradient_name: str
+    background: Optional[tuple[int, int, int]] = None  # stereo schemes only
+
+    @property
+    def gradient(self) -> GradientFn:
+        return GRADIENTS[self.gradient_name]
+
+    @property
+    def is_stereo(self) -> bool:
+        return self.background is not None
+
+    def background_color(self) -> tuple[int, int, int]:
+        """colorscheme.rs:41-44: stereo -> explicit background, mono ->
+        gradient at 0."""
+        if self.background is not None:
+            return self.background
+        return tuple(int(c) for c in eval_u8(self.gradient, 0.0))
+
+    def foreground_color(self) -> tuple[int, int, int]:
+        """colorscheme.rs:46-53."""
+        t = 0.5 if self.is_stereo else 1.0
+        return tuple(int(c) for c in eval_u8(self.gradient, t))
+
+    def color_for(self, left: float, right: float) -> tuple[np.ndarray, float]:
+        """(l, r) magnitude -> (u8 rgb, alpha). colorscheme.rs:55-71.
+
+        Stereo: color from pan = l / (|l| + |r|), alpha = normalized dB.
+        Mono:   color from normalized dB, alpha = 1.
+        Note this CPU-path pan differs from the GPU shader's r/(l+r)
+        (gpu_spectrogram.rs:182) — the framework treats the shader as the
+        canonical production law and keeps this one for golden-model parity.
+        """
+        power = left * left + right * right
+        db = 10.0 * np.log10(power + 1e-7)
+        bounded = (db - MIN_DB) / (MAX_DB - MIN_DB)
+        if self.is_stereo:
+            l1 = abs(left) + abs(right)
+            pan = left / l1 if l1 != 0.0 else np.nan  # ref divides unguarded
+            return eval_u8(self.gradient, pan), float(bounded)
+        return eval_u8(self.gradient, bounded), 1.0
+
+    def lookup_table(self, resolution: int = 32) -> np.ndarray:
+        """[res, res, 4] f32 LUT; axis 0 = magnitude, axis 1 = pan (reversed).
+
+        Bit-faithful to colorscheme.rs:73-91: rgb divided by 256 (not 255),
+        stereo alpha = magnitude coordinate, pan stored as 1 - j/(res-1).
+        """
+        i = np.arange(resolution, dtype=np.float64) / (resolution - 1)
+        table = np.zeros((resolution, resolution, 4), dtype=np.float32)
+        if self.is_stereo:
+            pan = 1.0 - i  # reversed pan axis (colorscheme.rs:81)
+            rgb = eval_u8(self.gradient, pan).astype(np.float32) / 256.0  # [R,3]
+            table[:, :, :3] = rgb[None, :, :]
+            table[:, :, 3] = i.astype(np.float32)[:, None]  # alpha = magnitude
+        else:
+            rgb = eval_u8(self.gradient, i).astype(np.float32) / 256.0
+            table[:, :, :3] = rgb[:, None, :]
+            table[:, :, 3] = 1.0
+        return table
+
+
+_BLACK = (0, 0, 0)
+
+# Order matches default_color_schemes() (colorscheme.rs:125-151); index is the
+# per-stream palette id used on device.
+DEFAULT_COLOR_SCHEMES: tuple[ColorScheme, ...] = (
+    ColorScheme("Blue-Yellow-Red (Stereo)", "RED_YELLOW_BLUE", _BLACK),
+    ColorScheme("Magma", "MAGMA"),
+    ColorScheme("Viridis", "VIRIDIS"),
+    ColorScheme("Blue-Red (Stereo)", "RED_BLUE", _BLACK),
+    ColorScheme("Spectral (Stereo)", "SPECTRAL", _BLACK),
+    ColorScheme("Green-Yellow-Red (Stereo)", "RED_YELLOW_GREEN", _BLACK),
+    ColorScheme("Green-Pink (Stereo)", "PINK_GREEN", _BLACK),
+    ColorScheme("Orange-Purple (Stereo)", "PURPLE_ORANGE", _BLACK),
+    ColorScheme("Inferno", "INFERNO"),
+    ColorScheme("Plasma", "PLASMA"),
+    ColorScheme("Cividis", "CIVIDIS"),
+    ColorScheme("Cube-helix", "CUBEHELIX"),
+    ColorScheme("Turbo", "TURBO"),
+    ColorScheme("Cool", "COOL"),
+    ColorScheme("Reds", "REDS"),
+    ColorScheme("Blues", "BLUES"),
+    ColorScheme("Greens", "GREENS"),
+    ColorScheme("Greys", "GREYS"),
+    ColorScheme("Oranges", "ORANGES"),
+)
+
+_NAME_TO_INDEX = {s.name: i for i, s in enumerate(DEFAULT_COLOR_SCHEMES)}
+
+
+def scheme_index(name: str) -> int:
+    return _NAME_TO_INDEX[name]
+
+
+def scheme_by_name(name: str) -> ColorScheme:
+    return DEFAULT_COLOR_SCHEMES[_NAME_TO_INDEX[name]]
+
+
+def stacked_lookup_tables(resolution: int = 32) -> np.ndarray:
+    """All default palettes as one [P, res, res, 4] f32 array (device LUT)."""
+    return np.stack(
+        [s.lookup_table(resolution) for s in DEFAULT_COLOR_SCHEMES], axis=0
+    )
+
+
+def stacked_backgrounds() -> np.ndarray:
+    """[P, 3] u8 background colors (frame clear color, gpu_spectrogram.rs:293)."""
+    return np.stack(
+        [np.array(s.background_color(), dtype=np.uint8) for s in DEFAULT_COLOR_SCHEMES]
+    )
