@@ -1,0 +1,112 @@
+"""Benchmark: spectrogram rows/sec/chip at 4096-pt FFT x N streams.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Geometry follows BASELINE.json's metric: window 2048 @ 48 kHz, zero-padded x2
+-> 4096-point FFT, hop 800 -> 60 rows/s/stream (the north-star per-stream
+rate).  vs_baseline = measured rows/s/chip / 600,000 (the north-star target:
+10,000 streams x 60 rows/s on one v5e chip).
+
+Measurement notes:
+* Throughput is measured as N pushes inside ONE jitted lax.scan, timed
+  end-to-end with a forced host materialization of the per-push checksums.
+  Per-call timing is not trustworthy in this environment: the dev harness
+  tunnels the TPU through a relay where `block_until_ready` returns before
+  execution completes and each dispatch costs 10-30 ms of RPC overhead.
+* Latency is the wall time of one dispatched push with a forced
+  materialization — i.e. what a live single-push server loop would see
+  through this harness (upper bound; on-device time is total/N from the scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+import numpy as np
+
+BASELINE_ROWS_PER_SEC = 600_000.0  # north star: 10k streams x 60 rows/s/chip
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogram_tpu.config import BENCH_CONFIG
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    n_streams = int(os.environ.get("BENCH_STREAMS", "4096"))
+    chunk_hops = int(os.environ.get("BENCH_CHUNK_HOPS", "1"))
+    scan_len = int(os.environ.get("BENCH_SCAN_LEN", "50"))
+    trials = int(os.environ.get("BENCH_TRIALS", "5"))
+
+    cfg = BENCH_CONFIG
+    assert cfg.padded_size == 4096, cfg
+    pipeline = SpectrogramPipeline(cfg, chunk_hops=chunk_hops, store_ring=False)
+
+    rng = np.random.default_rng(0)
+    chunk = jnp.asarray(
+        rng.standard_normal((n_streams, pipeline.chunk_size, 2)).astype(np.float32)
+        * 0.1
+    )
+
+    # --- throughput: scanned pushes, one dispatch ---
+    def scan_pushes(state, chunk):
+        def body(s, _):
+            s, rgba = pipeline.push_impl(s, chunk)
+            return s, rgba[:, 0, 0, 0]  # tiny per-push checksum, keeps rgba live
+
+        return jax.lax.scan(body, state, None, length=scan_len)
+
+    scan_fn = jax.jit(scan_pushes, donate_argnums=0)
+    state = pipeline.init_state(n_streams)
+    state, sums = scan_fn(state, chunk)  # compile + warmup
+    np.asarray(sums)
+
+    per_push = []
+    for _ in range(trials):
+        state = pipeline.init_state(n_streams)
+        t0 = time.perf_counter()
+        state, sums = scan_fn(state, chunk)
+        np.asarray(sums)  # forces completion through the relay
+        per_push.append((time.perf_counter() - t0) / scan_len)
+    dt = min(per_push)
+    rows_per_sec = n_streams * chunk_hops / dt
+
+    # --- latency: single dispatched push (harness upper bound) ---
+    lat_state = pipeline.init_state(n_streams)
+    lat_state, rgba = pipeline.push(lat_state, chunk)
+    np.asarray(rgba[0, 0, 0])
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        lat_state, rgba = pipeline.push(lat_state, chunk)
+        np.asarray(rgba[0, 0, 0])
+        lats.append(time.perf_counter() - t0)
+    p50_latency = statistics.median(lats)
+
+    print(
+        json.dumps(
+            {
+                "metric": "spectrogram_rows_per_sec_per_chip",
+                "value": round(rows_per_sec, 1),
+                "unit": "rows/s (4096-pt FFT, STFT+colormap->RGBA, "
+                f"{n_streams} streams)",
+                "vs_baseline": round(rows_per_sec / BASELINE_ROWS_PER_SEC, 4),
+                "on_device_ms_per_push": round(dt * 1e3, 3),
+                "p50_dispatch_latency_ms": round(p50_latency * 1e3, 3),
+                "streams": n_streams,
+                "chunk_hops": chunk_hops,
+                "rows_per_stream_per_sec": round(cfg.rows_per_second, 2),
+                "realtime_stream_capacity": round(rows_per_sec / cfg.rows_per_second),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,30 @@ class ColorScheme:
         return table
 
 
+    def factored_tables(self, resolution: int = 32) -> tuple[np.ndarray, np.ndarray]:
+        """Rank-1 factorization of the LUT: (U[res,4], V[res,4]) with
+        LUT[i, j, c] == U[i, c] * V[j, c] exactly.
+
+        Every reference palette factors: mono LUTs vary only along the
+        magnitude axis (colorscheme.rs:88-89: rgb=f(mag), alpha=1) and stereo
+        LUTs have rgb=f(pan), alpha=mag-ramp (:83-87).  Since bilinear
+        sampling is separable, sampling the 2D LUT equals the product of two
+        1D interpolations — which turns the device-side palette lookup into
+        two tiny matmuls instead of a per-pixel gather (see
+        ops/colormap.sample_lut_factored).
+        """
+        i = np.arange(resolution, dtype=np.float64) / (resolution - 1)
+        u = np.ones((resolution, 4), dtype=np.float32)
+        v = np.ones((resolution, 4), dtype=np.float32)
+        if self.is_stereo:
+            u[:, 3] = i.astype(np.float32)                      # alpha = mag ramp
+            pan = 1.0 - i                                       # reversed pan axis
+            v[:, :3] = eval_u8(self.gradient, pan).astype(np.float32) / 256.0
+        else:
+            u[:, :3] = eval_u8(self.gradient, i).astype(np.float32) / 256.0
+        return u, v
+
+
 _BLACK = (0, 0, 0)
 
 # Order matches default_color_schemes() (colorscheme.rs:125-151); index is the
@@ -134,6 +158,12 @@ def stacked_lookup_tables(resolution: int = 32) -> np.ndarray:
     return np.stack(
         [s.lookup_table(resolution) for s in DEFAULT_COLOR_SCHEMES], axis=0
     )
+
+
+def stacked_factored_tables(resolution: int = 32) -> tuple[np.ndarray, np.ndarray]:
+    """All default palettes' rank-1 factors: (U[P,res,4], V[P,res,4])."""
+    us, vs = zip(*(s.factored_tables(resolution) for s in DEFAULT_COLOR_SCHEMES))
+    return np.stack(us), np.stack(vs)
 
 
 def stacked_backgrounds() -> np.ndarray:

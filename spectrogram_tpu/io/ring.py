@@ -1,0 +1,277 @@
+"""Python bindings for the native host-ingest ring buffers.
+
+Wraps spectrogram_tpu/native/ring_buffer.cpp (built on demand with the
+vendored Makefile) via ctypes.  A pure-numpy fallback keeps the API working
+where no C++ toolchain exists; the native path is the production one.
+
+API mirrors the reference's transport layer semantics (SPSC, peek/skip,
+counted drops — see the C++ header comment for the file-level mapping).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
+_SO_PATH = _NATIVE_DIR / "libspectrogram_ring.so"
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_LOCK = threading.Lock()
+_BUILD_FAILED = False
+
+_u64 = ctypes.c_uint64
+_f32p = ctypes.POINTER(ctypes.c_float)
+_u64p = ctypes.POINTER(_u64)
+
+
+def _load_library() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library; None on failure."""
+    global _LIB, _BUILD_FAILED
+    with _LIB_LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _BUILD_FAILED:
+            return None
+        if not _SO_PATH.exists():
+            try:
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (OSError, subprocess.SubprocessError):
+                _BUILD_FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO_PATH))
+        except OSError:
+            _BUILD_FAILED = True
+            return None
+        # signatures
+        lib.ring_create.restype = ctypes.c_void_p
+        lib.ring_create.argtypes = [_u64]
+        lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        for name in ("ring_capacity", "ring_size", "ring_dropped"):
+            getattr(lib, name).restype = _u64
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        for name in ("ring_push", "ring_pop", "ring_peek"):
+            getattr(lib, name).restype = _u64
+            getattr(lib, name).argtypes = [ctypes.c_void_p, _f32p, _u64]
+        lib.ring_skip.restype = _u64
+        lib.ring_skip.argtypes = [ctypes.c_void_p, _u64]
+        lib.bank_create.restype = ctypes.c_void_p
+        lib.bank_create.argtypes = [_u64, _u64]
+        lib.bank_destroy.argtypes = [ctypes.c_void_p]
+        lib.bank_capacity.restype = _u64
+        lib.bank_capacity.argtypes = [ctypes.c_void_p]
+        lib.bank_push.restype = _u64
+        lib.bank_push.argtypes = [ctypes.c_void_p, _u64, _f32p, _u64]
+        lib.bank_push_matrix.argtypes = [ctypes.c_void_p, _f32p, _u64]
+        lib.bank_pop_matrix.argtypes = [ctypes.c_void_p, _f32p, _u64, _u64p]
+        lib.bank_min_size.restype = _u64
+        lib.bank_min_size.argtypes = [ctypes.c_void_p]
+        lib.bank_size.restype = _u64
+        lib.bank_size.argtypes = [ctypes.c_void_p, _u64]
+        lib.bank_dropped_total.restype = _u64
+        lib.bank_dropped_total.argtypes = [ctypes.c_void_p]
+        lib.bank_dropped.restype = _u64
+        lib.bank_dropped.argtypes = [ctypes.c_void_p, _u64]
+        _LIB = lib
+        return lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def _as_frames(frames: np.ndarray) -> np.ndarray:
+    frames = np.ascontiguousarray(frames, dtype=np.float32)
+    if frames.ndim != 2 or frames.shape[1] != 2:
+        raise ValueError(f"expected [n, 2] stereo frames, got {frames.shape}")
+    return frames
+
+
+class StereoRing:
+    """SPSC ring of stereo f32 frames with counted drops (native-backed)."""
+
+    def __init__(self, capacity: int = 4096):
+        self._lib = _load_library()
+        if self._lib is not None:
+            self._handle = self._lib.ring_create(_u64(capacity))
+            if not self._handle:
+                raise MemoryError("ring_create failed")
+            self.capacity = int(self._lib.ring_capacity(self._handle))
+        else:  # pure-python fallback
+            self._handle = None
+            self.capacity = 1 << (max(capacity, 2) - 1).bit_length()
+            self._buf = np.zeros((self.capacity, 2), np.float32)
+            self._head = 0
+            self._tail = 0
+            self._dropped = 0
+            self._lock = threading.Lock()
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._handle:
+            self._lib.ring_destroy(self._handle)
+            self._handle = None
+
+    def __len__(self) -> int:
+        if self._handle:
+            return int(self._lib.ring_size(self._handle))
+        return self._head - self._tail
+
+    @property
+    def dropped(self) -> int:
+        if self._handle:
+            return int(self._lib.ring_dropped(self._handle))
+        return self._dropped
+
+    def push(self, frames: np.ndarray) -> int:
+        frames = _as_frames(frames)
+        n = len(frames)
+        if self._handle:
+            return int(
+                self._lib.ring_push(
+                    self._handle, frames.ctypes.data_as(_f32p), _u64(n)
+                )
+            )
+        with self._lock:
+            free = self.capacity - (self._head - self._tail)
+            accepted = min(n, free)
+            self._dropped += n - accepted
+            for i in range(accepted):
+                self._buf[(self._head + i) % self.capacity] = frames[i]
+            self._head += accepted
+            return accepted
+
+    def _read(self, n: int, destructive: bool) -> np.ndarray:
+        if self._handle:
+            out = np.empty((n, 2), np.float32)
+            fn = self._lib.ring_pop if destructive else self._lib.ring_peek
+            got = int(fn(self._handle, out.ctypes.data_as(_f32p), _u64(n)))
+            return out[:got]
+        with self._lock:
+            avail = self._head - self._tail
+            got = min(n, avail)
+            idx = (self._tail + np.arange(got)) % self.capacity
+            out = self._buf[idx].copy()
+            if destructive:
+                self._tail += got
+            return out
+
+    def pop(self, n: int) -> np.ndarray:
+        return self._read(n, destructive=True)
+
+    def peek(self, n: int) -> np.ndarray:
+        """Non-destructive window read (audio_transform.rs peek semantics)."""
+        return self._read(n, destructive=False)
+
+    def skip(self, n: int) -> int:
+        """Advance the read cursor (hop skip)."""
+        if self._handle:
+            return int(self._lib.ring_skip(self._handle, _u64(n)))
+        with self._lock:
+            got = min(n, self._head - self._tail)
+            self._tail += got
+            return got
+
+
+class RingBank:
+    """S uniform SPSC rings; one call fills a whole [S, n, 2] device batch."""
+
+    def __init__(self, n_streams: int, capacity: int = 16384):
+        self.n_streams = int(n_streams)
+        self._lib = _load_library()
+        if self._lib is not None:
+            self._handle = self._lib.bank_create(_u64(n_streams), _u64(capacity))
+            if not self._handle:
+                raise MemoryError("bank_create failed")
+            self.capacity = int(self._lib.bank_capacity(self._handle))
+            self._rings = None
+        else:
+            self._handle = None
+            self._rings = [StereoRing(capacity) for _ in range(n_streams)]
+            self.capacity = self._rings[0].capacity if n_streams else 0
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._handle:
+            self._lib.bank_destroy(self._handle)
+            self._handle = None
+
+    def push(self, stream: int, frames: np.ndarray) -> int:
+        frames = _as_frames(frames)
+        if self._handle:
+            return int(
+                self._lib.bank_push(
+                    self._handle,
+                    _u64(stream),
+                    frames.ctypes.data_as(_f32p),
+                    _u64(len(frames)),
+                )
+            )
+        return self._rings[stream].push(frames)
+
+    def push_matrix(self, frames: np.ndarray) -> None:
+        """[S, n, 2] block: n frames to every stream."""
+        frames = np.ascontiguousarray(frames, dtype=np.float32)
+        if frames.ndim != 3 or frames.shape[0] != self.n_streams or frames.shape[2] != 2:
+            raise ValueError(f"expected [{self.n_streams}, n, 2], got {frames.shape}")
+        if self._handle:
+            self._lib.bank_push_matrix(
+                self._handle, frames.ctypes.data_as(_f32p), _u64(frames.shape[1])
+            )
+        else:
+            for s in range(self.n_streams):
+                self._rings[s].push(frames[s])
+
+    def pop_matrix(self, n: int, out: Optional[np.ndarray] = None):
+        """Pop n frames per stream into [S, n, 2] (zero-padded on underrun).
+
+        Returns (out, counts) with counts[s] = frames actually popped for
+        stream s.  `out` may be preallocated (pinned) to avoid per-tick
+        allocation.
+        """
+        if out is None:
+            out = np.empty((self.n_streams, n, 2), np.float32)
+        counts = np.empty((self.n_streams,), np.uint64)
+        if self._handle:
+            self._lib.bank_pop_matrix(
+                self._handle,
+                out.ctypes.data_as(_f32p),
+                _u64(n),
+                counts.ctypes.data_as(_u64p),
+            )
+        else:
+            for s in range(self.n_streams):
+                got = self._rings[s].pop(n)
+                counts[s] = len(got)
+                out[s, : len(got)] = got
+                out[s, len(got) :] = 0.0
+        return out, counts
+
+    def min_size(self) -> int:
+        if self._handle:
+            return int(self._lib.bank_min_size(self._handle))
+        return min((len(r) for r in self._rings), default=0)
+
+    def size(self, stream: int) -> int:
+        if self._handle:
+            return int(self._lib.bank_size(self._handle, _u64(stream)))
+        return len(self._rings[stream])
+
+    @property
+    def dropped_total(self) -> int:
+        if self._handle:
+            return int(self._lib.bank_dropped_total(self._handle))
+        return sum(r.dropped for r in self._rings)
+
+    def dropped(self, stream: int) -> int:
+        if self._handle:
+            return int(self._lib.bank_dropped(self._handle, _u64(stream)))
+        return self._rings[stream].dropped

@@ -1,0 +1,248 @@
+// Host-side lock-free SPSC ring buffers for PCM ingest.
+//
+// TPU-native replacement for the reference's sample transport layer: the
+// `ringbuf` HeapRb SPSC queue created at
+// reference src/devices/audio_input_list_model.rs:30 and consumed at
+// src/fourier/audio_transform.rs:38-39.  Differences by design:
+//
+//  * a RingBank packs S rings of uniform capacity contiguously so one C call
+//    can fill a whole [S, n, 2] device-feed batch (at 10k streams, per-ring
+//    Python calls per hop tick would dominate; SURVEY.md §6 "Host->device
+//    feed at 10k streams");
+//  * overrun is COUNTED, not silent: the reference's push_iter drops samples
+//    wordlessly on a full ring (SURVEY.md §5 "Metrics"); here every dropped
+//    frame increments a per-ring counter readable from Python;
+//  * peek/skip mirror the reference's non-destructive window peek + hop skip
+//    (audio_transform.rs:34-42) for the single-ring API.
+//
+// Memory model: single producer, single consumer per ring.  head (write
+// cursor) is only advanced by the producer, tail only by the consumer; both
+// are monotonically increasing uint64 frame counters, masked by capacity
+// (power of two) on access.
+//
+// Build: make -C spectrogram_tpu/native  (g++ -O3 -shared -fPIC)
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <new>
+
+namespace {
+
+struct Ring {
+  float *data = nullptr;  // capacity * 2 floats (stereo frames)
+  uint64_t capacity = 0;  // frames, power of two
+  uint64_t mask = 0;
+  std::atomic<uint64_t> head{0};     // next frame index to write
+  std::atomic<uint64_t> tail{0};     // next frame index to read
+  std::atomic<uint64_t> dropped{0};  // frames dropped on overrun
+};
+
+uint64_t round_pow2(uint64_t v) {
+  uint64_t p = 1;
+  while (p < v) p <<= 1;
+  return p;
+}
+
+void ring_init(Ring *r, uint64_t capacity, float *storage) {
+  r->capacity = capacity;
+  r->mask = capacity - 1;
+  r->data = storage;
+  r->head.store(0, std::memory_order_relaxed);
+  r->tail.store(0, std::memory_order_relaxed);
+  r->dropped.store(0, std::memory_order_relaxed);
+}
+
+// Copy n frames from the ring starting at absolute frame index `from`.
+void copy_out(const Ring *r, uint64_t from, float *out, uint64_t n) {
+  uint64_t start = from & r->mask;
+  uint64_t first = n < (r->capacity - start) ? n : (r->capacity - start);
+  std::memcpy(out, r->data + 2 * start, first * 2 * sizeof(float));
+  if (n > first) {
+    std::memcpy(out + 2 * first, r->data, (n - first) * 2 * sizeof(float));
+  }
+}
+
+uint64_t push_impl(Ring *r, const float *frames, uint64_t n) {
+  const uint64_t head = r->head.load(std::memory_order_relaxed);
+  const uint64_t tail = r->tail.load(std::memory_order_acquire);
+  const uint64_t free_frames = r->capacity - (head - tail);
+  uint64_t accepted = n < free_frames ? n : free_frames;
+  if (accepted < n) {
+    r->dropped.fetch_add(n - accepted, std::memory_order_relaxed);
+  }
+  uint64_t start = head & r->mask;
+  uint64_t first =
+      accepted < (r->capacity - start) ? accepted : (r->capacity - start);
+  std::memcpy(r->data + 2 * start, frames, first * 2 * sizeof(float));
+  if (accepted > first) {
+    std::memcpy(r->data, frames + 2 * first,
+                (accepted - first) * 2 * sizeof(float));
+  }
+  r->head.store(head + accepted, std::memory_order_release);
+  return accepted;
+}
+
+uint64_t pop_impl(Ring *r, float *out, uint64_t n) {
+  const uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  const uint64_t head = r->head.load(std::memory_order_acquire);
+  const uint64_t avail = head - tail;
+  uint64_t taken = n < avail ? n : avail;
+  if (out) copy_out(r, tail, out, taken);
+  r->tail.store(tail + taken, std::memory_order_release);
+  return taken;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------- single ring -------------------------------
+
+Ring *ring_create(uint64_t capacity) {
+  capacity = round_pow2(capacity < 2 ? 2 : capacity);
+  Ring *r = new (std::nothrow) Ring();
+  if (!r) return nullptr;
+  float *storage =
+      static_cast<float *>(std::malloc(capacity * 2 * sizeof(float)));
+  if (!storage) {
+    delete r;
+    return nullptr;
+  }
+  ring_init(r, capacity, storage);
+  return r;
+}
+
+void ring_destroy(Ring *r) {
+  if (!r) return;
+  std::free(r->data);
+  delete r;
+}
+
+uint64_t ring_capacity(const Ring *r) { return r->capacity; }
+
+uint64_t ring_size(const Ring *r) {
+  return r->head.load(std::memory_order_acquire) -
+         r->tail.load(std::memory_order_acquire);
+}
+
+uint64_t ring_dropped(const Ring *r) {
+  return r->dropped.load(std::memory_order_relaxed);
+}
+
+// Producer side: interleaved stereo frames; drops (and counts) overflow.
+uint64_t ring_push(Ring *r, const float *frames, uint64_t n) {
+  return push_impl(r, frames, n);
+}
+
+// Consumer side.
+uint64_t ring_pop(Ring *r, float *out, uint64_t n) {
+  return pop_impl(r, out, n);
+}
+
+// Non-destructive read of up to n frames (the reference's window peek).
+uint64_t ring_peek(const Ring *r, float *out, uint64_t n) {
+  const uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  const uint64_t head = r->head.load(std::memory_order_acquire);
+  const uint64_t avail = head - tail;
+  uint64_t taken = n < avail ? n : avail;
+  copy_out(r, tail, out, taken);
+  return taken;
+}
+
+// Advance the read cursor by up to n frames (the reference's hop skip).
+uint64_t ring_skip(Ring *r, uint64_t n) { return pop_impl(r, nullptr, n); }
+
+// -------------------------------- ring bank --------------------------------
+
+struct RingBank {
+  Ring *rings = nullptr;
+  float *storage = nullptr;
+  uint64_t n_streams = 0;
+  uint64_t capacity = 0;
+};
+
+RingBank *bank_create(uint64_t n_streams, uint64_t capacity) {
+  capacity = round_pow2(capacity < 2 ? 2 : capacity);
+  RingBank *b = new (std::nothrow) RingBank();
+  if (!b) return nullptr;
+  b->n_streams = n_streams;
+  b->capacity = capacity;
+  b->rings = new (std::nothrow) Ring[n_streams]();
+  b->storage = static_cast<float *>(
+      std::malloc(n_streams * capacity * 2 * sizeof(float)));
+  if (!b->rings || !b->storage) {
+    delete[] b->rings;
+    std::free(b->storage);
+    delete b;
+    return nullptr;
+  }
+  for (uint64_t s = 0; s < n_streams; ++s) {
+    ring_init(&b->rings[s], capacity, b->storage + s * capacity * 2);
+  }
+  return b;
+}
+
+void bank_destroy(RingBank *b) {
+  if (!b) return;
+  delete[] b->rings;
+  std::free(b->storage);
+  delete b;
+}
+
+uint64_t bank_capacity(const RingBank *b) { return b->capacity; }
+
+uint64_t bank_push(RingBank *b, uint64_t stream, const float *frames,
+                   uint64_t n) {
+  if (stream >= b->n_streams) return 0;
+  return push_impl(&b->rings[stream], frames, n);
+}
+
+// Push the same count of frames to every stream from one [S, n, 2] block.
+void bank_push_matrix(RingBank *b, const float *frames, uint64_t n) {
+  for (uint64_t s = 0; s < b->n_streams; ++s) {
+    push_impl(&b->rings[s], frames + s * n * 2, n);
+  }
+}
+
+// Fill out[S, n, 2] with n frames per stream.  Streams with fewer than n
+// buffered frames contribute what they have, zero-padded; the per-stream
+// count actually popped is written to counts[S].  One call per device feed.
+void bank_pop_matrix(RingBank *b, float *out, uint64_t n, uint64_t *counts) {
+  for (uint64_t s = 0; s < b->n_streams; ++s) {
+    uint64_t got = pop_impl(&b->rings[s], out + s * n * 2, n);
+    if (got < n) {
+      std::memset(out + (s * n + got) * 2, 0, (n - got) * 2 * sizeof(float));
+    }
+    if (counts) counts[s] = got;
+  }
+}
+
+// Smallest buffered frame count across all streams (lockstep readiness).
+uint64_t bank_min_size(const RingBank *b) {
+  uint64_t m = UINT64_MAX;
+  for (uint64_t s = 0; s < b->n_streams; ++s) {
+    uint64_t sz = ring_size(&b->rings[s]);
+    if (sz < m) m = sz;
+  }
+  return b->n_streams ? m : 0;
+}
+
+uint64_t bank_size(const RingBank *b, uint64_t stream) {
+  return stream < b->n_streams ? ring_size(&b->rings[stream]) : 0;
+}
+
+uint64_t bank_dropped_total(const RingBank *b) {
+  uint64_t total = 0;
+  for (uint64_t s = 0; s < b->n_streams; ++s) {
+    total += b->rings[s].dropped.load(std::memory_order_relaxed);
+  }
+  return total;
+}
+
+uint64_t bank_dropped(const RingBank *b, uint64_t stream) {
+  return stream < b->n_streams ? ring_dropped(&b->rings[stream]) : 0;
+}
+
+}  // extern "C"

@@ -125,6 +125,47 @@ def sample_lut_bilinear(lut: jax.Array, pan: jax.Array, mag: jax.Array) -> jax.A
     return top * (1 - wy) + bot * wy
 
 
+def tent_weights(coord: jax.Array, resolution: int) -> jax.Array:
+    """[...] texture coordinate in [0,1] -> [..., res] tent-basis weights.
+
+    Row-wise this is the clamped-bilinear weight vector of the GL sampler
+    (texel space x = clamp(clamp(c,0,1)*R - 0.5, 0, R-1); two adjacent
+    nonzeros summing to 1), expressed densely so palette lookup becomes a
+    matmul instead of a gather — gathers scalarize on TPU, matmuls hit the
+    MXU.
+    """
+    x = jnp.clip(jnp.clip(coord, 0.0, 1.0) * resolution - 0.5, 0.0, resolution - 1.0)
+    t = jnp.arange(resolution, dtype=x.dtype)
+    return jnp.clip(1.0 - jnp.abs(x[..., None] - t), 0.0, 1.0)
+
+
+def sample_lut_factored(
+    u_table: jax.Array, v_table: jax.Array, pan: jax.Array, mag: jax.Array
+) -> jax.Array:
+    """Sample a rank-1-factored LUT (see ColorScheme.factored_tables).
+
+    Exactly equals `sample_lut_bilinear(LUT, pan, mag)` when
+    LUT[i,j,c] = U[i,c] * V[j,c], because bilinear interpolation is
+    separable.  u_table/v_table: [R, 4] (or with leading batch dims matching
+    pan/mag's leading axes for per-stream palettes).
+    """
+    r = u_table.shape[-2]
+    wu = tent_weights(mag, r)
+    wv = tent_weights(pan, r)
+    if u_table.ndim == 2:
+        cu = jnp.einsum("...t,tc->...c", wu, u_table, preferred_element_type=jnp.float32)
+        cv = jnp.einsum("...t,tc->...c", wv, v_table, preferred_element_type=jnp.float32)
+    else:
+        # leading stream axis: per-stream tables [S, R, 4], coords [S, ..., R]
+        cu = jnp.einsum(
+            "s...t,stc->s...c", wu, u_table, preferred_element_type=jnp.float32
+        )
+        cv = jnp.einsum(
+            "s...t,stc->s...c", wv, v_table, preferred_element_type=jnp.float32
+        )
+    return cu * cv
+
+
 def colormap_resampled(
     pixels: jax.Array, lut: jax.Array, cfg: SpectrogramConfig
 ) -> jax.Array:

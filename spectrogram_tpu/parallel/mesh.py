@@ -1,0 +1,126 @@
+"""Scale-out over a device mesh: stream-sharded SPMD.
+
+The reference is a single-process, two-thread program (SURVEY.md §2,
+"Parallelism"); its only concurrency is one SPSC ring between the audio
+callback and the UI thread.  The TPU-native scaling story is data parallelism
+over a 1-D `streams` mesh axis:
+
+* every per-stream array (carry, ring, palette ids, PCM chunks, RGBA rows) is
+  sharded along `streams`;
+* the batch-shared scalars (cursor, row counter) are replicated;
+* steady state needs NO collectives — streams are embarrassingly parallel;
+  the only cross-chip traffic is monitoring reductions (`psum` of row/drop
+  counters), which ride the ICI.
+
+Two equivalent entry points:
+* `sharded_push`: `jax.jit` with explicit NamedShardings (GSPMD partitioning).
+* `shard_map_step`: explicit per-shard SPMD with a `psum` metrics reduction,
+  for when the per-chip code must be spelled out (and as the pattern for
+  future cross-chip features).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spectrogram_tpu.models.spectrogram import SpectrogramPipeline, StreamState
+
+STREAM_AXIS = "streams"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the stream axis."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (STREAM_AXIS,))
+
+
+def state_shardings(mesh: Mesh) -> StreamState:
+    """NamedShardings for every StreamState leaf: stream-sharded arrays,
+    replicated scalars."""
+    def s(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return StreamState(
+        carry=s(STREAM_AXIS, None, None),
+        ring=s(STREAM_AXIS, None, None, None),
+        cursor=s(),
+        palette_id=s(STREAM_AXIS),
+        row_count=s(),
+    )
+
+
+def chunk_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(STREAM_AXIS, None, None))
+
+
+def rgba_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(STREAM_AXIS, None, None, None))
+
+
+def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
+    """Place an (unsharded) state onto the mesh."""
+    return jax.device_put(state, state_shardings(mesh))
+
+
+def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh):
+    """jit-compiled push with stream-axis sharding constraints.
+
+    Returns step(state, chunk) -> (state, rgba_u8).  The stream count must be
+    divisible by mesh size.  State is donated: the ring never leaves HBM.
+    """
+    ss = state_shardings(mesh)
+    return jax.jit(
+        pipeline.push_impl,
+        in_shardings=(ss, chunk_sharding(mesh)),
+        out_shardings=(ss, rgba_sharding(mesh)),
+        donate_argnums=0,
+    )
+
+
+def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh):
+    """Explicit SPMD push: each chip runs the pipeline on its stream shard;
+    a psum over ICI aggregates the global row counter (the only collective).
+
+    Returns step(state, chunk) -> (state, rgba_u8, global_rows).
+    """
+    state_specs = StreamState(
+        carry=P(STREAM_AXIS, None, None),
+        ring=P(STREAM_AXIS, None, None, None),
+        cursor=P(),
+        palette_id=P(STREAM_AXIS),
+        row_count=P(),
+    )
+
+    def per_chip(state: StreamState, chunk: jax.Array):
+        new_state, rgba = pipeline.push_impl(state, chunk)
+        local_rows = jnp.asarray(rgba.shape[0] * pipeline.chunk_hops, jnp.int32)
+        global_rows = jax.lax.psum(local_rows, STREAM_AXIS)
+        return new_state, rgba, global_rows
+
+    mapped = jax.shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(state_specs, P(STREAM_AXIS, None, None)),
+        out_specs=(state_specs, P(STREAM_AXIS, None, None, None), P()),
+    )
+    return jax.jit(mapped, donate_argnums=0)
+
+
+def global_metrics(state: StreamState) -> dict:
+    """Monitoring summary (fills the observability gap noted in SURVEY.md §5
+    — the reference only ever printed to stderr).  Works on sharded state:
+    reading the replicated scalars costs no transfer; the per-stream reduce
+    runs where the data lives."""
+    return {
+        "streams": int(state.palette_id.shape[0]),
+        "rows_produced": int(state.row_count),
+        "cursor": int(state.cursor),
+    }

@@ -102,3 +102,43 @@ def test_batched_shapes(rng):
     rows = jnp.asarray(rng.random((4, 3, CFG.num_bins, 2)).astype(np.float32))
     out = colormap.colormap_rows(rows, m, lut, CFG)
     assert out.shape == (4, 3, CFG.viewport_height, 4)
+
+
+def test_factored_lut_equals_bilinear(rng):
+    """The rank-1 factorization must reproduce 2D bilinear sampling exactly
+    (bilinear is separable; all default LUTs are outer products)."""
+    import jax.numpy as jnp
+    from spectrogram_tpu.color.colorscheme import DEFAULT_COLOR_SCHEMES
+
+    pan = jnp.asarray(rng.random((50,)).astype(np.float32) * 1.4 - 0.2)  # incl. OOB
+    mag = jnp.asarray(rng.random((50,)).astype(np.float32) * 1.4 - 0.2)
+    for scheme in DEFAULT_COLOR_SCHEMES:
+        lut = jnp.asarray(scheme.lookup_table(32))
+        u, v = scheme.factored_tables(32)
+        ref = np.asarray(colormap.sample_lut_bilinear(lut, pan, mag))
+        fac = np.asarray(
+            colormap.sample_lut_factored(jnp.asarray(u), jnp.asarray(v), pan, mag)
+        )
+        np.testing.assert_allclose(fac, ref, atol=2e-6, err_msg=scheme.name)
+
+
+def test_factored_lut_batched_streams(rng):
+    import jax.numpy as jnp
+    from spectrogram_tpu.color.colorscheme import stacked_factored_tables
+
+    u, v = stacked_factored_tables(32)
+    pid = np.array([1, 3, 7])
+    pan = jnp.asarray(rng.random((3, 5, 9)).astype(np.float32))
+    mag = jnp.asarray(rng.random((3, 5, 9)).astype(np.float32))
+    batched = np.asarray(
+        colormap.sample_lut_factored(
+            jnp.asarray(u[pid]), jnp.asarray(v[pid]), pan, mag
+        )
+    )
+    for s in range(3):
+        single = np.asarray(
+            colormap.sample_lut_factored(
+                jnp.asarray(u[pid[s]]), jnp.asarray(v[pid[s]]), pan[s], mag[s]
+            )
+        )
+        np.testing.assert_allclose(batched[s], single, atol=1e-6)

@@ -1,0 +1,119 @@
+"""Streaming pipeline tests: push/ring/cursor semantics and parity between
+the streaming path and the one-shot golden path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spectrogram_tpu.config import SpectrogramConfig
+from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+from spectrogram_tpu.ops import stft as stft_ops
+
+CFG = SpectrogramConfig(
+    sample_rate=8000.0,
+    window_period=0.032,   # W = 256
+    hop_period=0.008,      # hop = 64
+    viewport_height=64,
+    viewport_rows=32,
+)
+
+
+def make_pipeline(**kw):
+    return SpectrogramPipeline(CFG, chunk_hops=4, **kw)
+
+
+def test_push_emits_chunk_hops_rows(rng):
+    p = make_pipeline()
+    s = p.init_state(3)
+    chunk = jnp.asarray(rng.standard_normal((3, p.chunk_size, 2)).astype(np.float32))
+    s, rgba = p.push(s, chunk)
+    assert rgba.shape == (3, 4, CFG.viewport_height, 4)
+    assert rgba.dtype == jnp.uint8
+    assert int(s.cursor) == 4
+    assert int(s.row_count) == 4
+
+
+def test_streaming_matches_one_shot(rng):
+    """Pushing T samples in hop-multiple chunks produces the same rows as
+    framing the whole signal at once (up to ring bf16 rounding for the ring,
+    exact f32 for the emitted rows)."""
+    p = make_pipeline()
+    n_pushes = 5
+    total = p.chunk_size * n_pushes
+    pcm = rng.standard_normal((2, total, 2)).astype(np.float32) * 0.3
+    s = p.init_state(2)
+    emitted = []
+    for i in range(n_pushes):
+        chunk = jnp.asarray(pcm[:, i * p.chunk_size : (i + 1) * p.chunk_size])
+        s, rgba = p.push(s, chunk)
+        emitted.append(np.asarray(rgba))
+    streamed = np.concatenate(emitted, axis=1)  # [S, n_rows, H, 4]
+
+    # One-shot reference: leading zeros stand in for the initial carry state.
+    padded = np.concatenate(
+        [np.zeros((2, p.carry_size, 2), np.float32), pcm], axis=1
+    )
+    oneshot = np.asarray(p.process(jnp.asarray(padded)))
+    assert oneshot.shape == streamed.shape
+    np.testing.assert_array_equal(streamed, oneshot)
+
+
+def test_ring_wraps_and_render_orders_chronologically(rng):
+    p = make_pipeline()
+    s = p.init_state(1)
+    n_pushes = p.viewport_rows // p.chunk_hops + 2  # wrap past the ring end
+    rows_seen = []
+    for i in range(n_pushes):
+        chunk = jnp.asarray(
+            rng.standard_normal((1, p.chunk_size, 2)).astype(np.float32) * 0.1
+        )
+        s, rgba = p.push(s, chunk)
+        rows_seen.append(np.asarray(rgba))
+    assert int(s.cursor) == (n_pushes * p.chunk_hops) % p.viewport_rows
+    assert int(s.row_count) == n_pushes * p.chunk_hops
+
+    # The viewport holds the LAST viewport_rows rows in chronological order.
+    viewport = np.asarray(p.render_viewport(s))[0]  # [R, H, 4]
+    all_rows = np.concatenate(rows_seen, axis=1)[0]  # [n_rows, H, 4]
+    expected_last = all_rows[-p.viewport_rows :]
+    # Ring stores bf16 rows; emitted rgba came from f32 rows. Compare loosely:
+    # the two paths must agree within bf16 quantization of the magnitudes.
+    diff = np.abs(
+        viewport.astype(np.int32) - expected_last.astype(np.int32)
+    )
+    assert np.mean(diff) < 2.0
+    assert np.percentile(diff, 99) <= 16
+
+
+def test_per_stream_palettes(rng):
+    p = make_pipeline()
+    s = p.init_state(2)
+    s = p.set_palette(s, jnp.asarray([1, 2]))  # Magma vs Viridis
+    chunk = jnp.asarray(
+        np.tile(rng.standard_normal((1, p.chunk_size, 2)), (2, 1, 1)).astype(np.float32)
+    )
+    s, rgba = p.push(s, chunk)
+    rgba = np.asarray(rgba)
+    # identical audio, different palettes -> different colors, same alpha=255
+    assert not np.array_equal(rgba[0, ..., :3], rgba[1, ..., :3])
+    np.testing.assert_array_equal(rgba[..., 3], 255)  # both mono palettes
+
+
+def test_silence_renders_palette_floor():
+    p = make_pipeline()
+    s = p.init_state(1)
+    s, rgba = p.push(s, jnp.zeros((1, p.chunk_size, 2), jnp.float32))
+    rgba = np.asarray(rgba)
+    # silence -> -70 dB -> LUT row 0 -> magma(0) = (0,0,4)/256 scaled by 255
+    expected = np.round(np.array([0, 0, 4]) / 256.0 * 255.0)
+    np.testing.assert_array_equal(rgba[0, 0, 0, :3], expected)
+
+
+def test_viewport_rows_rounds_to_chunk_multiple():
+    p = SpectrogramPipeline(CFG, chunk_hops=5, viewport_rows=32)
+    assert p.viewport_rows == 35
+    assert p.viewport_rows % p.chunk_hops == 0
+
+
+def test_carry_matches_stft_helper():
+    p = make_pipeline()
+    assert p.carry_size == stft_ops.carry_size(CFG) == CFG.window_size - CFG.hop_size

@@ -1,0 +1,140 @@
+"""Host ingest ring tests: SPSC semantics, peek/skip, counted drops,
+bank batch pop, and cross-thread producer/consumer."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from spectrogram_tpu.io import ring as ring_mod
+
+
+@pytest.fixture(params=["native", "fallback"])
+def ring_impl(request, monkeypatch):
+    if request.param == "native":
+        if not ring_mod.native_available():
+            pytest.skip("native ring library unavailable")
+    else:
+        monkeypatch.setattr(ring_mod, "_load_library", lambda: None)
+    return request.param
+
+
+def frames(n, start=0):
+    base = np.arange(start, start + n, dtype=np.float32)
+    return np.stack([base, -base], axis=-1)
+
+
+def test_push_pop_fifo(ring_impl):
+    r = ring_mod.StereoRing(64)
+    assert r.push(frames(10)) == 10
+    assert len(r) == 10
+    out = r.pop(4)
+    np.testing.assert_array_equal(out, frames(4))
+    out = r.pop(100)  # pops only what's there
+    np.testing.assert_array_equal(out, frames(6, start=4))
+    assert len(r) == 0
+
+
+def test_peek_then_skip_window_semantics(ring_impl):
+    """The reference's peek-window / skip-hop pattern (audio_transform.rs:34-42)."""
+    r = ring_mod.StereoRing(64)
+    r.push(frames(20))
+    w1 = r.peek(8)
+    np.testing.assert_array_equal(w1, frames(8))
+    assert len(r) == 20  # peek is non-destructive
+    assert r.skip(3) == 3
+    w2 = r.peek(8)
+    np.testing.assert_array_equal(w2, frames(8, start=3))
+
+
+def test_overrun_counted_not_silent(ring_impl):
+    r = ring_mod.StereoRing(8)  # rounds to 8
+    assert r.capacity == 8
+    accepted = r.push(frames(20))
+    assert accepted == 8
+    assert r.dropped == 12  # the reference drops these wordlessly; we count
+    np.testing.assert_array_equal(r.pop(8), frames(8))
+
+
+def test_wraparound(ring_impl):
+    r = ring_mod.StereoRing(8)
+    r.push(frames(6))
+    r.pop(5)
+    r.push(frames(6, start=100))  # wraps storage
+    out = r.pop(7)
+    np.testing.assert_array_equal(out[:1], frames(1, start=5))
+    np.testing.assert_array_equal(out[1:], frames(6, start=100))
+
+
+def test_bank_pop_matrix(ring_impl):
+    b = ring_mod.RingBank(3, 64)
+    b.push(0, frames(10))
+    b.push(1, frames(5, start=50))
+    # stream 2 left empty
+    out, counts = b.pop_matrix(8)
+    assert out.shape == (3, 8, 2)
+    np.testing.assert_array_equal(counts, [8, 5, 0])
+    np.testing.assert_array_equal(out[0], frames(8))
+    np.testing.assert_array_equal(out[1, :5], frames(5, start=50))
+    np.testing.assert_array_equal(out[1, 5:], 0)
+    np.testing.assert_array_equal(out[2], 0)
+    assert b.size(0) == 2
+    assert b.min_size() == 0
+
+
+def test_bank_push_matrix_and_drops(ring_impl):
+    b = ring_mod.RingBank(2, 8)
+    block = np.stack([frames(12), frames(12, start=100)])
+    b.push_matrix(block)
+    assert b.dropped_total == 2 * 4
+    assert b.dropped(0) == 4
+    out, counts = b.pop_matrix(8)
+    np.testing.assert_array_equal(counts, [8, 8])
+    np.testing.assert_array_equal(out[1], frames(8, start=100))
+
+
+def test_cross_thread_producer_consumer():
+    """Native path only: hammer the SPSC ring from two threads and verify no
+    frame is lost or reordered (the audio-callback/UI-thread boundary)."""
+    if not ring_mod.native_available():
+        pytest.skip("native ring library unavailable")
+    r = ring_mod.StereoRing(1 << 12)
+    total = 200_000
+    received = []
+
+    def producer():
+        sent = 0
+        while sent < total:
+            n = min(np.random.randint(1, 512), total - sent)
+            chunk = frames(n, start=sent)
+            got = r.push(chunk)
+            sent += got  # retry unaccepted frames
+
+    def consumer():
+        count = 0
+        while count < total:
+            out = r.pop(1024)
+            if len(out):
+                received.append(out.copy())
+                count += len(out)
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tp.start(), tc.start()
+    tp.join(timeout=30), tc.join(timeout=30)
+    assert not tp.is_alive() and not tc.is_alive()
+    all_frames = np.concatenate(received)
+    assert all_frames.shape == (total, 2)
+    # No frame lost, duplicated, or reordered across the thread boundary.
+    np.testing.assert_array_equal(all_frames[:, 0], np.arange(total, dtype=np.float32))
+    # Note: r.dropped counts offered-but-unaccepted frames; the producer
+    # re-offers them, so dropped > 0 here does NOT mean data loss.
+
+
+def test_validation(ring_impl):
+    r = ring_mod.StereoRing(16)
+    with pytest.raises(ValueError):
+        r.push(np.zeros((4, 3), np.float32))
+    b = ring_mod.RingBank(2, 16)
+    with pytest.raises(ValueError):
+        b.push_matrix(np.zeros((3, 4, 2), np.float32))

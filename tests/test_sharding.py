@@ -1,0 +1,82 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded push parity
+with the single-device path, shard placement, and the shard_map metrics path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spectrogram_tpu.config import SpectrogramConfig
+from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+from spectrogram_tpu.parallel import mesh as pmesh
+
+CFG = SpectrogramConfig(
+    sample_rate=8000.0,
+    window_period=0.032,
+    hop_period=0.008,
+    viewport_height=64,
+    viewport_rows=16,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return SpectrogramPipeline(CFG, chunk_hops=4)
+
+
+def test_mesh_has_eight_devices():
+    m = pmesh.make_mesh()
+    assert m.devices.shape == (8,)
+
+
+def test_sharded_push_matches_single_device(pipeline, rng):
+    m = pmesh.make_mesh()
+    n_streams = 16  # 2 per device
+    pcm = rng.standard_normal((n_streams, pipeline.chunk_size, 2)).astype(np.float32)
+
+    # single-device reference
+    s0 = pipeline.init_state(n_streams)
+    s0, rgba_ref = pipeline.push(s0, jnp.asarray(pcm))
+
+    # sharded
+    step = pmesh.sharded_push(pipeline, m)
+    s1 = pmesh.shard_state(pipeline.init_state(n_streams), m)
+    chunk = jax.device_put(jnp.asarray(pcm), pmesh.chunk_sharding(m))
+    s1, rgba = step(s1, chunk)
+
+    np.testing.assert_array_equal(np.asarray(rgba), np.asarray(rgba_ref))
+    assert int(s1.cursor) == int(s0.cursor)
+    # ring stays sharded over streams
+    shard_shapes = {tuple(sh.data.shape) for sh in s1.ring.addressable_shards}
+    assert shard_shapes == {(2, pipeline.viewport_rows, CFG.num_bins, 2)}
+
+
+def test_shard_map_step_psum_metrics(pipeline, rng):
+    m = pmesh.make_mesh()
+    n_streams = 8
+    step = pmesh.shard_map_step(pipeline, m)
+    s = pmesh.shard_state(pipeline.init_state(n_streams), m)
+    chunk = jax.device_put(
+        jnp.asarray(rng.standard_normal((n_streams, pipeline.chunk_size, 2)).astype(np.float32)),
+        pmesh.chunk_sharding(m),
+    )
+    s, rgba, global_rows = step(s, chunk)
+    # each of 8 chips contributes its local shard's rows: 1 stream x 4 hops
+    assert int(global_rows) == 8 * 1 * pipeline.chunk_hops
+    assert rgba.shape == (n_streams, pipeline.chunk_hops, CFG.viewport_height, 4)
+    metrics = pmesh.global_metrics(s)
+    assert metrics["rows_produced"] == pipeline.chunk_hops
+
+
+def test_multi_push_sharded_ring_render(pipeline, rng):
+    m = pmesh.make_mesh()
+    step = pmesh.sharded_push(pipeline, m)
+    s = pmesh.shard_state(pipeline.init_state(8), m)
+    for _ in range(3):
+        chunk = jax.device_put(
+            jnp.asarray(rng.standard_normal((8, pipeline.chunk_size, 2)).astype(np.float32)),
+            pmesh.chunk_sharding(m),
+        )
+        s, _ = step(s, chunk)
+    viewport = pipeline.render_viewport(s)
+    assert viewport.shape == (8, pipeline.viewport_rows, CFG.viewport_height, 4)
