@@ -1,0 +1,102 @@
+"""Oscilloscope: raw-waveform visualizer, batched over streams.
+
+TPU redesign of the reference `Oscilloscope` widget
+(src/widgets/oscilloscope.rs): a 16384-sample F32F32 ring texture written
+destructively from the stream (:199-213) and drawn as two GL line strips
+whose vertex shader fetches sample i at (gl_VertexID + ring_index) (:122-136).
+
+Here the ring is a device array [S, N, 2] with a modular cursor, and the
+"draw" is a min/max envelope reduction: each output pixel column covers
+N/width consecutive samples and reports their (min, max) per channel — the
+standard way to rasterize a waveform without a vertex pipeline, returning
+[S, width, 2ch, 2] envelopes a host UI can fill between.  Line color comes
+from the palette extremes exactly like the reference (color_for((1,0)) /
+color_for((0,1)), oscilloscope.rs:177-178).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectrogram_tpu.color.colorscheme import ColorScheme
+
+BUFFER_SIZE = 1024 * 16  # oscilloscope.rs:19
+
+
+class ScopeState(NamedTuple):
+    ring: jax.Array    # [S, N, 2] f32 sample ring
+    cursor: jax.Array  # [] int32 next write index (shared: lockstep pushes)
+
+
+class Oscilloscope:
+    """Batched waveform ring + envelope renderer.
+
+    chunk contract mirrors the pipeline: push_size samples per push, with
+    buffer_size % push_size == 0 so writes never wrap mid-chunk.
+    """
+
+    def __init__(self, push_size: int, buffer_size: int = BUFFER_SIZE):
+        if buffer_size % push_size:
+            raise ValueError("buffer_size must be a multiple of push_size")
+        self.push_size = int(push_size)
+        self.buffer_size = int(buffer_size)
+
+    def init_state(self, n_streams: int) -> ScopeState:
+        return ScopeState(
+            ring=jnp.zeros((n_streams, self.buffer_size, 2), jnp.float32),
+            cursor=jnp.zeros((), jnp.int32),
+        )
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def push(self, state: ScopeState, chunk: jax.Array) -> ScopeState:
+        """Destructive ring write (the reference pops the stream dry,
+        oscilloscope.rs:199-213)."""
+        ring = jax.lax.dynamic_update_slice(
+            state.ring, chunk.astype(jnp.float32), (0, state.cursor, 0)
+        )
+        return ScopeState(
+            ring=ring, cursor=(state.cursor + self.push_size) % self.buffer_size
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def envelope(self, state: ScopeState, width: int = 1024) -> jax.Array:
+        """[S, width, 2, 2] (min, max) per pixel column per channel, in
+        chronological order (oldest sample left)."""
+        if self.buffer_size % width:
+            raise ValueError("width must divide buffer_size")
+        ordered = jnp.roll(state.ring, -state.cursor, axis=1)
+        s = ordered.shape[0]
+        grouped = ordered.reshape(s, width, self.buffer_size // width, 2)
+        return jnp.stack(
+            [grouped.min(axis=2), grouped.max(axis=2)], axis=-1
+        )
+
+    @staticmethod
+    def line_colors(scheme: ColorScheme) -> tuple[np.ndarray, np.ndarray]:
+        """(left_rgb, right_rgb) u8 — palette extremes (oscilloscope.rs:177-178)."""
+        left, _ = scheme.color_for(1.0, 0.0)
+        right, _ = scheme.color_for(0.0, 1.0)
+        return left, right
+
+    def rasterize(
+        self, envelopes: jax.Array, height: int, scheme: ColorScheme
+    ) -> np.ndarray:
+        """Host-side raster of one stream's envelope [width, 2, 2] ->
+        [height, width, 3] u8 image (demo/debug; the product is `envelope`)."""
+        env = np.asarray(envelopes)
+        width = env.shape[0]
+        bg = np.asarray(scheme.background_color(), np.uint8)
+        img = np.broadcast_to(bg, (height, width, 3)).copy()
+        colors = self.line_colors(scheme)
+        for ch in range(2):
+            lo = np.clip(((1.0 - env[:, ch, 1]) * 0.5 * (height - 1)), 0, height - 1)
+            hi = np.clip(((1.0 - env[:, ch, 0]) * 0.5 * (height - 1)), 0, height - 1)
+            for x in range(width):
+                y0, y1 = int(lo[x]), int(hi[x])
+                img[y0 : y1 + 1, x] = colors[ch]
+        return img
