@@ -45,7 +45,13 @@ def main() -> None:
 
     cfg = BENCH_CONFIG
     assert cfg.padded_size == 4096, cfg
-    pipeline = SpectrogramPipeline(cfg, chunk_hops=chunk_hops, store_ring=False)
+    pipeline = SpectrogramPipeline(
+        cfg,
+        chunk_hops=chunk_hops,
+        store_ring=False,
+        colormap_backend=os.environ.get("BENCH_COLORMAP", "auto"),
+        stft_backend=os.environ.get("BENCH_STFT", "auto"),
+    )
 
     rng = np.random.default_rng(0)
     chunk = jnp.asarray(

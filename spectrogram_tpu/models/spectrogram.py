@@ -40,7 +40,16 @@ from spectrogram_tpu.color.colorscheme import (
 from spectrogram_tpu.config import SpectrogramConfig
 from spectrogram_tpu.ops import colormap as cmap_ops
 from spectrogram_tpu.ops import mxu_fft
+from spectrogram_tpu.ops.pallas import colormap_kernel as cmap_kernel
 from spectrogram_tpu.ops import stft as stft_ops
+
+
+def _unpack_rgba_device(packed: jax.Array) -> jax.Array:
+    """[..., H] i32 RGBA8888 -> [..., H, 4] u8 on device."""
+    return jnp.stack(
+        [((packed >> (8 * c)) & 0xFF).astype(jnp.uint8) for c in range(4)],
+        axis=-1,
+    )
 
 
 class StreamState(NamedTuple):
@@ -48,7 +57,7 @@ class StreamState(NamedTuple):
     the scalars shared by the lockstep batch."""
 
     carry: jax.Array      # [S, window-hop, 2] f32 — sample history between pushes
-    ring: jax.Array       # [S, R, B, 2] bf16 — scrolling row ring (f16 texture analog)
+    ring: jax.Array       # [S, R, 2, B] bf16 — scrolling row ring, channels-planar
     cursor: jax.Array     # [] int32 — next write row (gpu_spectrogram.rs `offset`)
     palette_id: jax.Array # [S] int32 — per-stream palette index
     row_count: jax.Array  # [] int32 — total rows produced since init
@@ -75,6 +84,8 @@ class SpectrogramPipeline:
         lut_resolution: Optional[int] = None,
         store_ring: bool = True,
         stft_backend: str = "auto",
+        colormap_backend: str = "auto",
+        packed_output: bool = False,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -104,6 +115,24 @@ class SpectrogramPipeline:
         self.fft_plan = mxu_fft.make_plan(cfg) if stft_backend != "xla" else None
         if stft_backend == "mxu" and self.fft_plan is None:
             raise ValueError(f"no MXU factorization for geometry {cfg}")
+        # Colormap backend: "pallas" = fused kernel (ops/pallas/colormap_kernel,
+        # ~2.4x the XLA-composed path on v5e), "xla" = composed jnp ops,
+        # "auto" = pallas on TPU backends, xla elsewhere (interpret-mode
+        # Pallas is too slow for production CPU use).
+        if colormap_backend not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown colormap_backend {colormap_backend!r}")
+        if colormap_backend == "auto":
+            colormap_backend = (
+                "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+            )
+        self.colormap_backend = colormap_backend
+        self.resample_t = jnp.asarray(cmap_ops.resample_matrix(cfg).T)  # [B,H]
+        # packed_output: emit rows as [S, k, H] int32 RGBA8888 (little-endian
+        # byte 0 = R) instead of [S, k, H, 4] u8 — identical bytes, the
+        # TPU-friendly wire format (no minor-dim-4 u8 layout); unpack on host
+        # with arr.view(np.uint8).reshape(..., 4).
+        self.packed_output = bool(packed_output)
+        self.builtin_tables = jnp.asarray(cmap_kernel.builtin_color_tables(res))
 
     # ------------------------------------------------------------------ state
 
@@ -115,7 +144,7 @@ class SpectrogramPipeline:
         return StreamState(
             carry=jnp.zeros((n_streams, self.carry_size, 2), jnp.float32),
             ring=jnp.zeros(
-                (n_streams, ring_rows, cfg.num_bins, 2), self.ring_dtype
+                (n_streams, ring_rows, 2, cfg.num_bins), self.ring_dtype
             ),
             cursor=jnp.zeros((), jnp.int32),
             palette_id=jnp.full((n_streams,), palette_id, jnp.int32),
@@ -149,7 +178,7 @@ class SpectrogramPipeline:
         cfg = self.cfg
         k = self.chunk_hops
         buf = jnp.concatenate([state.carry, chunk.astype(jnp.float32)], axis=1)
-        rows = self._stft(buf)  # [S, k, B, 2] f32
+        rows = self._stft(buf)  # [S, k, 2, B] f32 (channels-planar)
         new_carry = buf[:, buf.shape[1] - self.carry_size :, :]
 
         if self.store_ring:
@@ -162,7 +191,7 @@ class SpectrogramPipeline:
             ring = state.ring
         cursor = (state.cursor + k) % self.viewport_rows
 
-        rgba = self._colormap(rows, state.palette_id)
+        rgba_u8 = self._colormap_u8(rows, state.palette_id)
         new_state = StreamState(
             carry=new_carry,
             ring=ring,
@@ -170,20 +199,48 @@ class SpectrogramPipeline:
             palette_id=state.palette_id,
             row_count=state.row_count + k,
         )
-        return new_state, cmap_ops.rgba_f32_to_u8(rgba)
+        return new_state, rgba_u8
 
     def _stft(self, pcm: jax.Array) -> jax.Array:
-        """Framing + STFT via the selected backend."""
+        """Framing + STFT via the selected backend; channels-planar output
+        [..., rows, 2, bins] (bins stay the TPU lane dimension)."""
         if self.fft_plan is not None:
-            return mxu_fft.stft_rows_mxu(pcm, self.cfg, self.fft_plan)
-        return stft_ops.stft_rows(pcm, self.cfg)
+            return mxu_fft.stft_rows_split_planar(pcm, self.cfg, self.fft_plan)
+        return stft_ops.stft_rows_planar(pcm, self.cfg)
+
+    def _colormap_u8(self, rows: jax.Array, palette_id: jax.Array) -> jax.Array:
+        """[S, k, B, 2] magnitude rows -> [S, k, H, 4] u8 RGBA with a
+        per-stream palette, via the selected backend."""
+        s, k = rows.shape[0], rows.shape[1]
+        if self.colormap_backend == "pallas":
+            flat = rows.reshape(s * k, 2, rows.shape[3])
+            tabs = jnp.repeat(self.builtin_tables[palette_id], k, axis=0)
+            packed = cmap_kernel.colormap_rows_builtin(
+                flat, tabs, self.resample_t, self.cfg
+            ).reshape(s, k, -1)
+            if self.packed_output:
+                return packed
+            return _unpack_rgba_device(packed)
+        rgba = self._colormap(rows, palette_id)
+        if self.packed_output:
+            q = jnp.clip(jnp.round(rgba * 255.0), 0.0, 255.0).astype(jnp.int32)
+            return (
+                q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
+            )
+        return cmap_ops.rgba_f32_to_u8(rgba)
 
     def _colormap(self, rows: jax.Array, palette_id: jax.Array) -> jax.Array:
-        """[S, k, B, 2] magnitude rows -> [S, k, H, 4] f32 RGBA with a
-        per-stream palette."""
+        """[S, k, 2, B] planar magnitude rows -> [S, k, H, 4] f32 RGBA with a
+        per-stream palette (XLA-composed path)."""
         cfg = self.cfg
-        pixels = cmap_ops.resample_rows(rows, self.resample)  # [S, k, H, 2]
-        left, right = pixels[..., 0], pixels[..., 1]
+        pixels = jnp.einsum(
+            "skcb,bh->skch",
+            rows,
+            self.resample_t,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        left, right = pixels[..., 0, :], pixels[..., 1, :]
         mag = cmap_ops.db_normalize(left, right, cfg)
         pan = cmap_ops.pan_fraction(left, right)
         # Per-stream palettes via the rank-1 LUT factorization: a per-pixel
@@ -207,8 +264,7 @@ class SpectrogramPipeline:
         not the f32 streaming path.
         """
         ordered = jnp.roll(state.ring, -state.cursor, axis=1).astype(jnp.float32)
-        rgba = self._colormap(ordered, state.palette_id)
-        return cmap_ops.rgba_f32_to_u8(rgba)
+        return self._colormap_u8(ordered, state.palette_id)
 
     @functools.partial(jax.jit, static_argnums=0)
     def composite(self, rgba_u8: jax.Array, palette_id: jax.Array) -> jax.Array:
@@ -230,7 +286,7 @@ class SpectrogramPipeline:
             pcm = pcm[None]
         rows = self._stft(pcm)
         pid = jnp.full((pcm.shape[0],), palette_id, jnp.int32)
-        rgba = cmap_ops.rgba_f32_to_u8(self._colormap(rows, pid))
+        rgba = self._colormap_u8(rows, pid)
         return rgba[0] if squeeze else rgba
 
 

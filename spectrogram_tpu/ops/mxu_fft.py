@@ -141,14 +141,12 @@ def fft_packed(
     return dr.reshape(*batch, n1 * n2), di.reshape(*batch, n1 * n2)
 
 
-def stft_frame_mxu(
+def _stft_frame_mxu_lr(
     frame: jax.Array,
     cfg: SpectrogramConfig,
     plan: FftPlan,
     precision=jax.lax.Precision.HIGHEST,
-) -> jax.Array:
-    """Drop-in MXU replacement for ops.stft.stft_frame: [..., W, 2] ->
-    [..., W-1, 2] magnitudes, same numerical contract."""
+):
     w = cfg.window_size
     n = cfg.padded_size
     assert plan.n == n and plan.m * plan.n1 == w, (plan, cfg)
@@ -161,10 +159,22 @@ def stft_frame_mxu(
     a_re, a_im = x_re[..., 1:w], x_im[..., 1:w]
     b_re = x_re[..., -1:-w:-1]
     b_im = x_im[..., -1:-w:-1]
-    left = jnp.sqrt((a_re + b_re) ** 2 + (a_im - b_im) ** 2) * 0.5
-    right = jnp.sqrt((a_re - b_re) ** 2 + (a_im + b_im) ** 2) * 0.5
     scale = 2.0 / w
-    return jnp.stack([left, right], axis=-1) * scale
+    left = jnp.sqrt((a_re + b_re) ** 2 + (a_im - b_im) ** 2) * (0.5 * scale)
+    right = jnp.sqrt((a_re - b_re) ** 2 + (a_im + b_im) ** 2) * (0.5 * scale)
+    return left, right
+
+
+def stft_frame_mxu(
+    frame: jax.Array,
+    cfg: SpectrogramConfig,
+    plan: FftPlan,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Drop-in MXU replacement for ops.stft.stft_frame: [..., W, 2] ->
+    [..., W-1, 2] magnitudes, same numerical contract."""
+    left, right = _stft_frame_mxu_lr(frame, cfg, plan, precision)
+    return jnp.stack([left, right], axis=-1)
 
 
 def stft_rows_mxu(
@@ -183,3 +193,88 @@ def stft_rows_mxu(
         return stft_ops.stft_rows(pcm, cfg)
     frames = stft_ops.frame_signal(pcm, cfg)
     return stft_frame_mxu(frames, cfg, plan, precision)
+
+
+@functools.lru_cache(maxsize=32)
+def _half_plan_constants(plan: FftPlan):
+    """Constants for the split-real half-spectrum four-step: stage-1 DFT over
+    the m nonzero rows, twiddles, and stage-2 DFT restricted to k1 < N1/2
+    (bins k < N/2 — all the reference emits)."""
+    n, n1, n2, m = plan.n, plan.n1, plan.n2, plan.m
+    assert n1 % 2 == 0, plan
+    i2 = np.arange(m)[:, None] * np.arange(n2)[None, :]
+    f2 = np.exp(-2j * np.pi * i2 / n2)
+    it = np.arange(n2)[:, None] * np.arange(n1)[None, :]
+    tw = np.exp(-2j * np.pi * it / n)
+    i1 = np.arange(n1)[:, None] * np.arange(n1 // 2)[None, :]
+    f1h = np.exp(-2j * np.pi * i1 / n1)
+    to = lambda a: (a.real.astype(np.float32), a.imag.astype(np.float32))
+    return to(f2), to(tw), to(f1h)
+
+
+def stft_rows_split_planar(
+    pcm: jax.Array,
+    cfg: SpectrogramConfig,
+    plan: FftPlan | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """[..., T, 2] PCM -> [..., rows, 2, num_bins]: split-real MXU STFT.
+
+    Equal in exact arithmetic to the packed-complex path (the reference's
+    stereo packing, fft.rs:57,81-89, is a CPU trick to get two real DFTs from
+    one complex FFT — here each channel gets its own real-input four-step
+    with a HALF-spectrum stage 2, so the FLOPs match the packed version while
+    eliminating its reverse/conjugate-unpack passes entirely).  Device
+    profiling showed those passes cost more than the FFT arithmetic.
+    """
+    plan = plan or make_plan(cfg)
+    if plan is None or plan.n1 % 2:
+        return stft_ops.stft_rows_planar(pcm, cfg)
+    w = cfg.window_size
+    frames = stft_ops.frame_signal(pcm, cfg)  # [..., rows, W, 2]
+    frames = frames.astype(jnp.float32)
+    hann = stft_ops.hann_window(w)
+    # channels to a leading batch position: [..., rows, 2, W]
+    x = jnp.moveaxis(frames, -1, -2) * hann
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    (f2r, f2i), (twr, twi), (f1r, f1i) = _half_plan_constants(plan)
+    batch = x.shape[:-1]
+    a = x.reshape(*batch, m, n1)  # real; rows m.. zero-pad elided
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+    # Stage 1 (real input): B[.., k2, n1_] — two real matmuls.
+    br = jnp.einsum("...mi,mk->...ki", a, f2r, **kw)
+    bi = jnp.einsum("...mi,mk->...ki", a, f2i, **kw)
+    # Twiddle.
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+    # Stage 2, half spectrum: D[.., k1 < n1/2, k2].
+    dr = (
+        jnp.einsum("...ki,il->...lk", cr, f1r, **kw)
+        - jnp.einsum("...ki,il->...lk", ci, f1i, **kw)
+    )
+    di = (
+        jnp.einsum("...ki,il->...lk", cr, f1i, **kw)
+        + jnp.einsum("...ki,il->...lk", ci, f1r, **kw)
+    )
+    half = dr.shape[-2] * n2  # = n/2
+    dr = dr.reshape(*batch, half)
+    di = di.reshape(*batch, half)
+    # |X_l[k]| * 2/W over bins k = 1..W-1 (fft.rs:81-92).
+    mag = jnp.sqrt(dr * dr + di * di) * (2.0 / w)
+    return mag[..., 1:w]
+
+
+def stft_rows_mxu_planar(
+    pcm: jax.Array,
+    cfg: SpectrogramConfig,
+    plan: FftPlan | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """As stft_rows_mxu but channels-planar [..., rows, 2, num_bins] (the
+    TPU-native layout: bins stay the lane dimension)."""
+    plan = plan or make_plan(cfg)
+    if plan is None:
+        return stft_ops.stft_rows_planar(pcm, cfg)
+    frames = stft_ops.frame_signal(pcm, cfg)
+    left, right = _stft_frame_mxu_lr(frames, cfg, plan, precision)
+    return jnp.stack([left, right], axis=-2)

@@ -64,12 +64,9 @@ def frame_signal(pcm: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
     return pcm[..., idx, :]
 
 
-def stft_frame(frame: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
-    """One window [..., window_size, 2] -> magnitudes [..., num_bins, 2].
-
-    The last axis of the output is (left, right) magnitude; bin j corresponds
-    to padded-FFT bin k = j + 1 (fft.rs:81 skips the DC bin).
-    """
+def _stft_frame_lr(frame: jax.Array, cfg: SpectrogramConfig):
+    """Core transform: [..., window_size, 2] -> (left, right) magnitudes,
+    each [..., num_bins]."""
     w = cfg.window_size
     n = cfg.padded_size
     frame = frame.astype(jnp.float32)
@@ -82,11 +79,32 @@ def stft_frame(frame: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
     # partner of X_k is X_{N-k}.
     a = x[..., 1:w]
     b = x[..., -1 : -(w) : -1]  # X_{N-1}, X_{N-2}, ..., X_{N-W+1}
-    left = jnp.abs(a + jnp.conj(b)) * 0.5
-    right = jnp.abs(a - jnp.conj(b)) * 0.5
     # Post-scale 2 / window_size (fft.rs:92).
     scale = 2.0 / w
-    return jnp.stack([left, right], axis=-1) * scale
+    left = jnp.abs(a + jnp.conj(b)) * (0.5 * scale)
+    right = jnp.abs(a - jnp.conj(b)) * (0.5 * scale)
+    return left, right
+
+
+def stft_frame(frame: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
+    """One window [..., window_size, 2] -> magnitudes [..., num_bins, 2].
+
+    The last axis of the output is (left, right) magnitude; bin j corresponds
+    to padded-FFT bin k = j + 1 (fft.rs:81 skips the DC bin).
+    """
+    left, right = _stft_frame_lr(frame, cfg)
+    return jnp.stack([left, right], axis=-1)
+
+
+def stft_frame_planar(frame: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
+    """As stft_frame but channels-planar: [..., 2, num_bins].
+
+    The TPU-native layout: the bin axis stays minor (lane dimension), so
+    downstream matmuls and kernels see contiguous [*, bins] planes instead
+    of stride-2 interleaved channels.
+    """
+    left, right = _stft_frame_lr(frame, cfg)
+    return jnp.stack([left, right], axis=-2)
 
 
 def stft_rows(pcm: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
@@ -96,6 +114,11 @@ def stft_rows(pcm: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
     framework.  Pure jnp + XLA FFT; works batched over arbitrary leading axes.
     """
     return stft_frame(frame_signal(pcm, cfg), cfg)
+
+
+def stft_rows_planar(pcm: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
+    """[..., T, 2] PCM -> [..., n_rows, 2, num_bins] (channels-planar)."""
+    return stft_frame_planar(frame_signal(pcm, cfg), cfg)
 
 
 def carry_size(cfg: SpectrogramConfig) -> int:

@@ -66,3 +66,23 @@ def test_fallback_when_no_factorization():
     pcm = np.zeros((cfg.window_size, 2), np.float32)
     out = mxu_fft.stft_rows_mxu(jnp.asarray(pcm), cfg)
     assert out.shape == (1, cfg.num_bins, 2)
+
+
+def test_split_real_matches_golden_planar(rng):
+    cfg = SpectrogramConfig(
+        sample_rate=8000.0, window_period=0.032, hop_period=0.008
+    )
+    pcm = (rng.standard_normal((2, 600, 2)) * 0.3).astype(np.float32)
+    golden = np.asarray(stft.stft_rows_planar(jnp.asarray(pcm), cfg))
+    split = np.asarray(mxu_fft.stft_rows_split_planar(jnp.asarray(pcm), cfg))
+    assert split.shape == golden.shape
+    np.testing.assert_allclose(split, golden, atol=3e-5, rtol=1e-4)
+
+
+def test_split_real_bench_geometry(rng):
+    pcm = (rng.standard_normal((1, BENCH_CONFIG.window_size, 2)) * 0.2).astype(
+        np.float32
+    )
+    golden = np.asarray(stft.stft_rows_planar(jnp.asarray(pcm), BENCH_CONFIG))
+    split = np.asarray(mxu_fft.stft_rows_split_planar(jnp.asarray(pcm), BENCH_CONFIG))
+    np.testing.assert_allclose(split, golden, atol=3e-5, rtol=1e-4)

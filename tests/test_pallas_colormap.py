@@ -1,0 +1,107 @@
+"""Fused Pallas colormap kernel vs the XLA-composed path (interpret mode on
+the CPU backend; the real-hardware run is exercised by bench/verify)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spectrogram_tpu.config import SpectrogramConfig
+from spectrogram_tpu.color.colorscheme import stacked_factored_tables
+from spectrogram_tpu.ops import colormap as cm
+from spectrogram_tpu.ops.pallas import colormap_kernel as ck
+
+CFG = SpectrogramConfig(
+    sample_rate=8000.0, window_period=0.032, hop_period=0.008, viewport_height=128
+)
+
+
+def reference_path(rows_planar, u_sel, v_sel, mat):
+    rows = jnp.moveaxis(rows_planar, -2, -1)  # planar -> interleaved
+    pixels = cm.resample_rows(rows, mat)
+    mag = cm.db_normalize(pixels[..., 0], pixels[..., 1], CFG)
+    pan = cm.pan_fraction(pixels[..., 0], pixels[..., 1])
+    rgba = cm.sample_lut_factored(u_sel, v_sel, pan, mag)
+    return np.asarray(cm.rgba_f32_to_u8(rgba))
+
+
+def run_fused(rows, u_sel, v_sel, mat_t, **kw):
+    return np.asarray(
+        ck.colormap_rows_fused(
+            rows, u_sel, v_sel, mat_t, CFG, interpret=True, **kw
+        )
+    )
+
+
+def test_fused_matches_reference(rng):
+    n = 8
+    u, v = stacked_factored_tables(32)
+    pid = rng.integers(0, 19, n)
+    rows = jnp.asarray(rng.random((n, 2, CFG.num_bins)).astype(np.float32) * 0.1)
+    mat = jnp.asarray(cm.resample_matrix(CFG))
+    u_sel = jnp.asarray(u[pid])
+    v_sel = jnp.asarray(v[pid])
+    ref = reference_path(rows, u_sel, v_sel, mat)
+    out = run_fused(rows, u_sel, v_sel, mat.T, block_rows=8, block_cols=64)
+    assert out.shape == ref.shape == (n, CFG.viewport_height, 4)
+    # u8 after identical math: allow off-by-one from fp association order
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_fused_pads_ragged_shapes(rng):
+    n = 5  # not a multiple of the block
+    u, v = stacked_factored_tables(32)
+    pid = np.ones(n, np.int64)
+    rows = jnp.asarray(rng.random((n, 2, CFG.num_bins)).astype(np.float32) * 0.05)
+    mat = jnp.asarray(cm.resample_matrix(CFG))
+    ref = reference_path(rows, jnp.asarray(u[pid]), jnp.asarray(v[pid]), mat)
+    out = run_fused(
+        rows, jnp.asarray(u[pid]), jnp.asarray(v[pid]), mat.T,
+        block_rows=4, block_cols=128,
+    )
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+
+
+def test_fused_silence_floor():
+    n = 4
+    u, v = stacked_factored_tables(32)
+    pid = np.full(n, 2)  # Viridis
+    rows = jnp.zeros((n, 2, CFG.num_bins), jnp.float32)
+    mat = jnp.asarray(cm.resample_matrix(CFG))
+    out = run_fused(
+        rows, jnp.asarray(u[pid]), jnp.asarray(v[pid]), mat.T,
+        block_rows=4, block_cols=128,
+    )
+    expected = np.round(np.array([68, 1, 84]) / 256.0 * 255.0)
+    np.testing.assert_array_equal(out[..., :3], np.broadcast_to(expected, out[..., :3].shape))
+    np.testing.assert_array_equal(out[..., 3], 255)
+
+
+def test_builtin_kernel_matches_generic(rng):
+    """The specialized builtin-palette kernel must equal the generic factored
+    path for every default scheme (their LUTs all have the exploited
+    structure)."""
+    n = 19
+    u, v = stacked_factored_tables(32)
+    pid = np.arange(19)
+    rows = jnp.asarray(rng.random((n, 2, CFG.num_bins)).astype(np.float32) * 0.1)
+    mat = jnp.asarray(cm.resample_matrix(CFG))
+    ref = reference_path(rows, jnp.asarray(u[pid]), jnp.asarray(v[pid]), mat)
+    tabs = jnp.asarray(ck.builtin_color_tables(32)[pid])
+    packed = np.asarray(
+        ck.colormap_rows_builtin(
+            rows, tabs, jnp.asarray(mat.T), CFG,
+            block_rows=19, block_cols=64, interpret=True,
+        )
+    )
+    out = ck.unpack_rgba(packed)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_unpack_rgba_layout():
+    packed = np.array([[0x04030201]], dtype=np.int32)
+    np.testing.assert_array_equal(ck.unpack_rgba(packed)[0, 0], [1, 2, 3, 4])

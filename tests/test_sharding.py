@@ -48,7 +48,7 @@ def test_sharded_push_matches_single_device(pipeline, rng):
     assert int(s1.cursor) == int(s0.cursor)
     # ring stays sharded over streams
     shard_shapes = {tuple(sh.data.shape) for sh in s1.ring.addressable_shards}
-    assert shard_shapes == {(2, pipeline.viewport_rows, CFG.num_bins, 2)}
+    assert shard_shapes == {(2, pipeline.viewport_rows, 2, CFG.num_bins)}
 
 
 def test_shard_map_step_psum_metrics(pipeline, rng):
