@@ -41,10 +41,10 @@ class Oscilloscope:
     """
 
     def __init__(self, push_size: int, buffer_size: int = BUFFER_SIZE):
-        if buffer_size % push_size:
-            raise ValueError("buffer_size must be a multiple of push_size")
         self.push_size = int(push_size)
-        self.buffer_size = int(buffer_size)
+        # Round up so writes never wrap mid-chunk (same policy as the
+        # spectrogram ring's viewport_rows rounding).
+        self.buffer_size = -(-int(buffer_size) // self.push_size) * self.push_size
 
     def init_state(self, n_streams: int) -> ScopeState:
         return ScopeState(

@@ -1,0 +1,130 @@
+"""LiveSession: the runtime wiring layer (the reference's `build_ui` story).
+
+Ties together the input registry, host ring, pipeline, and the secondary
+visualizers the way src/main.rs wires the GTK app (:62-151):
+
+* selecting an input pauses the old stream, opens the new one, and — when the
+  sample rate changes — rebuilds the pipeline (new FFT plan) and resets the
+  state, exactly the reference's `select` -> `set_sample_rate` ->
+  `fft_texture.set(None)` chain (audio_input_list_model.rs:35-83,
+  gpu_spectrogram.rs:320-327);
+* palette changes propagate at runtime with no rebuild (the `palette`
+  property binding, main.rs:102-104);
+* per-tick processing drains the host ring in hop-multiple chunks, feeding
+  the spectrogram pipeline and, optionally, the oscilloscope and spectrum
+  analyzer from the same samples (the visualizer swap site, main.rs:69-72).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from spectrogram_tpu.color.colorscheme import scheme_index
+from spectrogram_tpu.config import SpectrogramConfig
+from spectrogram_tpu.io.registry import InputRegistry
+from spectrogram_tpu.models.oscilloscope import Oscilloscope
+from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+from spectrogram_tpu.models.spectrum_analyzer import SpectrumAnalyzer
+from spectrogram_tpu.utils.profiling import LatencyTracker
+
+
+@dataclasses.dataclass
+class SessionConfig:
+    window_period: float = 0.05
+    hop_period: float = 2.5 / 2048.0
+    viewport_height: int = 1024
+    viewport_rows: int = 2048
+    chunk_hops: int = 8
+    palette: str = "Magma"
+    enable_scope: bool = False
+    enable_analyzer: bool = False
+
+
+class LiveSession:
+    """Single-stream live session over the input registry."""
+
+    def __init__(self, session_cfg: Optional[SessionConfig] = None):
+        self.scfg = session_cfg or SessionConfig()
+        self.registry = InputRegistry(on_sample_rate=self._on_sample_rate)
+        self.pipeline: Optional[SpectrogramPipeline] = None
+        self.state = None
+        self.scope = None
+        self.scope_state = None
+        self.analyzer = None
+        self.levels = None
+        self.latency = LatencyTracker()
+        self.palette_id = scheme_index(self.scfg.palette)
+
+    # -- wiring ---------------------------------------------------------------
+
+    def _on_sample_rate(self, rate: float) -> None:
+        """Sample-rate notify: rebuild the pipeline (new FFT plan) and reset
+        state — the re-specialization path."""
+        cfg = SpectrogramConfig(
+            sample_rate=rate,
+            window_period=self.scfg.window_period,
+            hop_period=self.scfg.hop_period,
+            viewport_height=self.scfg.viewport_height,
+            viewport_rows=self.scfg.viewport_rows,
+        )
+        self.pipeline = SpectrogramPipeline(cfg, chunk_hops=self.scfg.chunk_hops)
+        self.state = self.pipeline.init_state(1, palette_id=self.palette_id)
+        if self.scfg.enable_scope:
+            self.scope = Oscilloscope(push_size=self.pipeline.chunk_size)
+            self.scope_state = self.scope.init_state(1)
+        if self.scfg.enable_analyzer:
+            self.analyzer = SpectrumAnalyzer(cfg)
+            self.levels = self.analyzer.init_levels(1)
+
+    def select_input(self, index: int):
+        """Switch input device/source (pause -> reconfigure -> play)."""
+        return self.registry.select(index)
+
+    def set_palette(self, name: str) -> None:
+        self.palette_id = scheme_index(name)
+        if self.pipeline is not None and self.state is not None:
+            self.state = self.pipeline.set_palette(self.state, self.palette_id)
+
+    # -- per-tick processing ----------------------------------------------------
+
+    def process_available(self, max_chunks: int = 64):
+        """Drain the host ring in chunk-size steps; returns the RGBA rows
+        produced this tick (possibly empty)."""
+        if self.pipeline is None:
+            return []
+        out = []
+        n = self.pipeline.chunk_size
+        for _ in range(max_chunks):
+            if len(self.registry.ring) < n:
+                break
+            frames = self.registry.ring.pop(n)
+            chunk = jnp.asarray(frames[None])
+            if self.analyzer is not None:
+                # Feed the analyzer the same windows push is about to
+                # process.  Must run BEFORE push: push donates the state, so
+                # the old carry buffer is dead afterwards.
+                rows = self.pipeline._stft(
+                    jnp.concatenate([self.state.carry, chunk], axis=1)
+                )
+                self.levels = self.analyzer.push_rows(
+                    self.levels, jnp.moveaxis(rows, -2, -1)
+                )
+            with self.latency.measure():
+                self.state, rgba = self.pipeline.push(self.state, chunk)
+                rgba_np = np.asarray(rgba[0])
+            out.append(rgba_np)
+            if self.scope is not None:
+                self.scope_state = self.scope.push(self.scope_state, chunk)
+        return out
+
+    def viewport(self) -> np.ndarray:
+        """[R, H, 4] u8 current scrolling view."""
+        vp = self.pipeline.render_viewport(self.state)
+        return np.asarray(vp[0])
+
+    def stop(self):
+        self.registry.stop()

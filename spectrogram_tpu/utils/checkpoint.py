@@ -1,0 +1,86 @@
+"""Checkpoint / resume for streaming state.
+
+The reference persists nothing — its scrolling texture is rebuilt empty on
+every sample-rate change (gpu_spectrogram.rs:326) and all history dies with
+the process (SURVEY.md §5).  Here the device row-ring + cursors + palette ids
+form real resumable state: a long-running 10k-stream service should survive
+restarts without blanking every client's viewport.
+
+Format: a single .npz (host arrays) + a JSON config sidecar used to validate
+geometry compatibility on load.  Works for sharded states (device_get
+gathers); reload re-shards via parallel.mesh.shard_state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+import jax
+import numpy as np
+
+from spectrogram_tpu.config import SpectrogramConfig
+from spectrogram_tpu.models.spectrogram import SpectrogramPipeline, StreamState
+
+
+def save_state(path, state: StreamState, cfg: SpectrogramConfig) -> None:
+    """Write state + config. `path` gets `.npz`; a `.json` sidecar holds the
+    geometry."""
+    path = pathlib.Path(path)
+    host = jax.device_get(state)
+    np.savez_compressed(
+        path.with_suffix(".npz"),
+        carry=np.asarray(host.carry),
+        ring=np.asarray(host.ring, dtype=np.float32),  # bf16 -> f32 container
+        cursor=np.asarray(host.cursor),
+        palette_id=np.asarray(host.palette_id),
+        row_count=np.asarray(host.row_count),
+        ring_dtype=str(state.ring.dtype),
+    )
+    path.with_suffix(".json").write_text(
+        json.dumps(dataclasses.asdict(cfg), sort_keys=True)
+    )
+
+
+def load_config(path) -> SpectrogramConfig:
+    path = pathlib.Path(path)
+    return SpectrogramConfig(**json.loads(path.with_suffix(".json").read_text()))
+
+
+def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
+    """Restore state for `pipeline`; raises if the checkpoint geometry is
+    incompatible (the analog of the reference's forced texture realloc on
+    rate change — a changed geometry means a fresh state, not a bad load)."""
+    import jax.numpy as jnp
+
+    path = pathlib.Path(path)
+    saved_cfg = load_config(path)
+    if (
+        saved_cfg.window_size != pipeline.cfg.window_size
+        or saved_cfg.sample_rate != pipeline.cfg.sample_rate
+        or saved_cfg.pad_factor != pipeline.cfg.pad_factor
+    ):
+        raise ValueError(
+            f"checkpoint geometry {saved_cfg} incompatible with pipeline "
+            f"{pipeline.cfg}; start a fresh state instead"
+        )
+    z = np.load(path.with_suffix(".npz"))
+    ring_dtype = jnp.dtype(str(z["ring_dtype"]))
+    state = StreamState(
+        carry=jnp.asarray(z["carry"]),
+        ring=jnp.asarray(z["ring"]).astype(ring_dtype),
+        cursor=jnp.asarray(z["cursor"]),
+        palette_id=jnp.asarray(z["palette_id"]),
+        row_count=jnp.asarray(z["row_count"]),
+    )
+    expected = pipeline.init_state(state.palette_id.shape[0])
+    for name, got, want in zip(
+        StreamState._fields, state, expected
+    ):
+        if got.shape != want.shape:
+            raise ValueError(
+                f"checkpoint field {name} shape {got.shape} != pipeline "
+                f"expectation {want.shape}"
+            )
+    return state

@@ -1,0 +1,98 @@
+"""LiveSession + checkpoint tests (CPU backend)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from spectrogram_tpu.config import SpectrogramConfig
+from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+from spectrogram_tpu.session import LiveSession, SessionConfig
+from spectrogram_tpu.utils import checkpoint
+
+
+def small_session():
+    return LiveSession(
+        SessionConfig(
+            window_period=0.016,
+            hop_period=0.004,
+            viewport_height=64,
+            viewport_rows=32,
+            chunk_hops=4,
+            enable_scope=True,
+            enable_analyzer=True,
+        )
+    )
+
+
+def test_session_select_process_switch():
+    sess = small_session()
+    idx_synth = len(sess.registry) - 3  # sine source
+    sess.select_input(idx_synth)
+    assert sess.pipeline is not None
+    assert sess.pipeline.cfg.sample_rate == 48000.0
+    deadline = time.time() + 5.0
+    rows = []
+    while not rows and time.time() < deadline:
+        rows = sess.process_available()
+        time.sleep(0.02)
+    assert rows, "no rows produced from live synthetic input"
+    assert rows[0].shape == (4, 64, 4)
+    vp = sess.viewport()
+    assert vp.shape == (sess.pipeline.viewport_rows, 64, 4)
+    # runtime palette switch requires no rebuild
+    pipeline_before = sess.pipeline
+    sess.set_palette("Viridis")
+    assert sess.pipeline is pipeline_before
+    assert int(sess.state.palette_id[0]) == 2
+    # analyzer and scope advanced
+    assert sess.levels is not None and float(np.max(np.asarray(sess.levels))) > 0
+    assert int(sess.scope_state.cursor) >= 0
+    sess.stop()
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = SpectrogramConfig(
+        sample_rate=8000.0, window_period=0.032, hop_period=0.008,
+        viewport_height=64, viewport_rows=16,
+    )
+    p = SpectrogramPipeline(cfg, chunk_hops=4)
+    s = p.init_state(3, palette_id=5)
+    import jax.numpy as jnp
+
+    for _ in range(3):
+        s, _ = p.push(
+            s, jnp.asarray(rng.standard_normal((3, p.chunk_size, 2)).astype(np.float32))
+        )
+    path = tmp_path / "ckpt"
+    checkpoint.save_state(path, s, cfg)
+    restored = checkpoint.load_state(path, p)
+    assert int(restored.cursor) == int(s.cursor)
+    assert int(restored.row_count) == int(s.row_count)
+    np.testing.assert_array_equal(np.asarray(restored.palette_id), [5, 5, 5])
+    np.testing.assert_allclose(
+        np.asarray(restored.carry), np.asarray(s.carry), atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.ring.astype(jnp.float32)),
+        np.asarray(s.ring.astype(jnp.float32)),
+    )
+    # resuming works
+    s2, rgba = p.push(
+        restored,
+        jnp.asarray(rng.standard_normal((3, p.chunk_size, 2)).astype(np.float32)),
+    )
+    assert int(s2.row_count) == int(s.row_count) + 4
+
+
+def test_checkpoint_geometry_mismatch(tmp_path):
+    cfg = SpectrogramConfig(sample_rate=8000.0, window_period=0.032)
+    p = SpectrogramPipeline(cfg, chunk_hops=4, viewport_rows=16)
+    s = p.init_state(1)
+    checkpoint.save_state(tmp_path / "c", s, cfg)
+    other = SpectrogramPipeline(
+        SpectrogramConfig(sample_rate=16000.0, window_period=0.032),
+        chunk_hops=4, viewport_rows=16,
+    )
+    with pytest.raises(ValueError):
+        checkpoint.load_state(tmp_path / "c", other)

@@ -39,8 +39,8 @@ def test_scope_push_and_envelope():
 
 
 def test_scope_validation():
-    with pytest.raises(ValueError):
-        Oscilloscope(push_size=100, buffer_size=256)
+    # buffer rounds up to a push_size multiple
+    assert Oscilloscope(push_size=100, buffer_size=256).buffer_size == 300
     scope = Oscilloscope(push_size=64, buffer_size=256)
     with pytest.raises(ValueError):
         scope.envelope(scope.init_state(1), width=7)
