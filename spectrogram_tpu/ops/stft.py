@@ -57,10 +57,19 @@ def frame_signal(pcm: jax.Array, cfg: SpectrogramConfig) -> jax.Array:
 
     Window i covers samples [i*hop, i*hop + window) — the peek-then-skip
     semantics of audio_transform.rs:34-42.
+
+    For small static row counts (the streaming push case) the frames are
+    built from n static slices — XLA lowers those to plain copies, where the
+    equivalent fancy-index gather can scalarize/compile pathologically on
+    TPU.  Large offline row counts fall back to the gather.
     """
     t = pcm.shape[-2]
     n = num_rows(t, cfg)
-    idx = frame_starts(n, cfg)[:, None] + jnp.arange(cfg.window_size)[None, :]
+    w, h = cfg.window_size, cfg.hop_size
+    if 0 < n <= 64:
+        frames = [pcm[..., r * h : r * h + w, :] for r in range(n)]
+        return jnp.stack(frames, axis=-3)
+    idx = frame_starts(n, cfg)[:, None] + jnp.arange(w)[None, :]
     return pcm[..., idx, :]
 
 

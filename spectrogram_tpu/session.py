@@ -72,6 +72,14 @@ class LiveSession:
             viewport_rows=self.scfg.viewport_rows,
         )
         self.pipeline = SpectrogramPipeline(cfg, chunk_hops=self.scfg.chunk_hops)
+        if self.pipeline.chunk_size > self.registry.ring.capacity:
+            # The reference silently deadlocks when its ingest ring is
+            # smaller than a window (SURVEY.md §5 / DESIGN.md D7); we refuse.
+            raise ValueError(
+                f"chunk ({self.pipeline.chunk_size} frames) exceeds ingest "
+                f"ring capacity ({self.registry.ring.capacity}); enlarge the "
+                "ring or reduce chunk_hops"
+            )
         self.state = self.pipeline.init_state(1, palette_id=self.palette_id)
         if self.scfg.enable_scope:
             self.scope = Oscilloscope(push_size=self.pipeline.chunk_size)
