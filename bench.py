@@ -51,6 +51,7 @@ def main() -> None:
         store_ring=False,
         colormap_backend=os.environ.get("BENCH_COLORMAP", "auto"),
         stft_backend=os.environ.get("BENCH_STFT", "auto"),
+        packed_output=True,  # RGBA8888 i32 wire format (production config)
     )
 
     rng = np.random.default_rng(0)
@@ -63,7 +64,7 @@ def main() -> None:
     def scan_pushes(state, chunk):
         def body(s, _):
             s, rgba = pipeline.push_impl(s, chunk)
-            return s, rgba[:, 0, 0, 0]  # tiny per-push checksum, keeps rgba live
+            return s, rgba[:, 0, 0]  # tiny per-push checksum, keeps rgba live
 
         return jax.lax.scan(body, state, None, length=scan_len)
 
@@ -85,12 +86,12 @@ def main() -> None:
     # --- latency: single dispatched push (harness upper bound) ---
     lat_state = pipeline.init_state(n_streams)
     lat_state, rgba = pipeline.push(lat_state, chunk)
-    np.asarray(rgba[0, 0, 0])
+    np.asarray(rgba[0, 0])
     lats = []
     for _ in range(10):
         t0 = time.perf_counter()
         lat_state, rgba = pipeline.push(lat_state, chunk)
-        np.asarray(rgba[0, 0, 0])
+        np.asarray(rgba[0, 0])
         lats.append(time.perf_counter() - t0)
     p50_latency = statistics.median(lats)
 

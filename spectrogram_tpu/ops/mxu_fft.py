@@ -196,6 +196,38 @@ def stft_rows_mxu(
 
 
 @functools.lru_cache(maxsize=32)
+def _block_plan_constants(plan: FftPlan):
+    """Block-matrix constants for the two-matmul split-real four-step.
+
+    Complex arithmetic as real block matrices: six separate real matmuls
+    (2 stage-1 + 4 stage-2) become two, quartering the number of HBM passes
+    over the [batch, n1, n2]-sized intermediates (device profiling showed
+    pass count, not FLOPs, dominates this stage).
+
+      stage 1: A real [.., m] x F2cat [m, 2*n2]          -> (Br | Bi)
+      stage 2: (Cr | Ci) [.., 2*n1] x F1blk [2*n1, 2*k1h] -> (Dr | Di)
+               F1blk = [[f1r, f1i], [-f1i, f1r]]
+    """
+    n, n1, n2, m = plan.n, plan.n1, plan.n2, plan.m
+    assert n1 % 2 == 0, plan
+    i2 = np.arange(m)[:, None] * np.arange(n2)[None, :]
+    f2 = np.exp(-2j * np.pi * i2 / n2)
+    f2cat = np.concatenate([f2.real, f2.imag], axis=1).astype(np.float32)
+    it = np.arange(n1)[:, None] * np.arange(n2)[None, :]
+    tw = np.exp(-2j * np.pi * it / n)                     # [n1, n2]
+    twr = tw.real.astype(np.float32)
+    twi = tw.imag.astype(np.float32)
+    i1 = np.arange(n1)[:, None] * np.arange(n1 // 2)[None, :]
+    f1 = np.exp(-2j * np.pi * i1 / n1)
+    f1blk = np.block(
+        [[f1.real, f1.imag], [-f1.imag, f1.real]]
+    ).astype(np.float32)  # [2*n1, 2*k1h]
+    # (A twiddle-folded batched-matmul variant was measured SLOWER: XLA's
+    # batch-64 matmul layout beats the saved elementwise pass. Keep 2+1.)
+    return f2cat, twr, twi, f1blk
+
+
+@functools.lru_cache(maxsize=32)
 def _half_plan_constants(plan: FftPlan):
     """Constants for the split-real half-spectrum four-step: stage-1 DFT over
     the m nonzero rows, twiddles, and stage-2 DFT restricted to k1 < N1/2
@@ -232,34 +264,48 @@ def stft_rows_split_planar(
         return stft_ops.stft_rows_planar(pcm, cfg)
     w = cfg.window_size
     frames = stft_ops.frame_signal(pcm, cfg)  # [..., rows, W, 2]
-    frames = frames.astype(jnp.float32)
-    hann = stft_ops.hann_window(w)
     # channels to a leading batch position: [..., rows, 2, W]
-    x = jnp.moveaxis(frames, -1, -2) * hann
+    x = jnp.moveaxis(frames.astype(jnp.float32), -1, -2)
+    return stft_planar_windows(x, cfg, plan, precision)
+
+
+def stft_planar_windows(
+    windows: jax.Array,  # [..., 2, W] planar full windows, NOT yet Hann'd
+    cfg: SpectrogramConfig,
+    plan: FftPlan,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Planar windows -> [..., 2, num_bins] magnitudes via the block-matrix
+    split-real four-step (see _block_plan_constants): ONE stage-1 matmul and
+    ONE stage-2 matmul total."""
+    w = cfg.window_size
     n1, n2, m = plan.n1, plan.n2, plan.m
-    (f2r, f2i), (twr, twi), (f1r, f1i) = _half_plan_constants(plan)
+    f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+    x = windows.astype(jnp.float32) * stft_ops.hann_window(w)
     batch = x.shape[:-1]
-    a = x.reshape(*batch, m, n1)  # real; rows m.. zero-pad elided
+    a = x.reshape(*batch, m, n1)
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
-    # Stage 1 (real input): B[.., k2, n1_] — two real matmuls.
-    br = jnp.einsum("...mi,mk->...ki", a, f2r, **kw)
-    bi = jnp.einsum("...mi,mk->...ki", a, f2i, **kw)
-    # Twiddle.
+    # Stage 1: B_cat[.., n1_, 2*n2] = (Br | Bi) — one matmul.
+    a_t = jnp.swapaxes(a, -1, -2)                       # [.., n1, m]
+    b_cat = jnp.einsum("...im,mk->...ik", a_t, jnp.asarray(f2cat), **kw)
+    br = b_cat[..., :n2]                                # [.., n1, n2]
+    bi = b_cat[..., n2:]
+    # Twiddle ([n1, n2] layout).
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
-    # Stage 2, half spectrum: D[.., k1 < n1/2, k2].
-    dr = (
-        jnp.einsum("...ki,il->...lk", cr, f1r, **kw)
-        - jnp.einsum("...ki,il->...lk", ci, f1i, **kw)
-    )
-    di = (
-        jnp.einsum("...ki,il->...lk", cr, f1i, **kw)
-        + jnp.einsum("...ki,il->...lk", ci, f1r, **kw)
-    )
-    half = dr.shape[-2] * n2  # = n/2
+    # Stage 2: contract over n1.  (Cr | Ci) along the contracted axis with
+    # the block DFT — one matmul.  Output [.., n2(k2), 2*k1h] = (Dr | Di).
+    c_cat = jnp.concatenate(
+        [jnp.swapaxes(cr, -1, -2), jnp.swapaxes(ci, -1, -2)], axis=-1
+    )                                                   # [.., k2, 2*n1]
+    d_cat = jnp.einsum("...ki,il->...kl", c_cat, jnp.asarray(f1blk), **kw)
+    k1h = n1 // 2
+    dr = jnp.swapaxes(d_cat[..., :k1h], -1, -2)         # [.., k1h, k2]
+    di = jnp.swapaxes(d_cat[..., k1h:], -1, -2)
+    half = k1h * n2
     dr = dr.reshape(*batch, half)
     di = di.reshape(*batch, half)
-    # |X_l[k]| * 2/W over bins k = 1..W-1 (fft.rs:81-92).
+    # |X[k]| * 2/W over bins k = 1..W-1 (fft.rs:81-92).
     mag = jnp.sqrt(dr * dr + di * di) * (2.0 / w)
     return mag[..., 1:w]
 

@@ -114,10 +114,11 @@ class LiveSession:
             if self.analyzer is not None:
                 # Feed the analyzer the same windows push is about to
                 # process.  Must run BEFORE push: push donates the state, so
-                # the old carry buffer is dead afterwards.
-                rows = self.pipeline._stft(
-                    jnp.concatenate([self.state.carry, chunk], axis=1)
+                # the old carry buffer is dead afterwards.  Carry is planar.
+                buf = jnp.concatenate(
+                    [self.state.carry, jnp.swapaxes(chunk, 1, 2)], axis=2
                 )
+                rows = self.pipeline._stft_planar_buf(buf)
                 self.levels = self.analyzer.push_rows(
                     self.levels, jnp.moveaxis(rows, -2, -1)
                 )
