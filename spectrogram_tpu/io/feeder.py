@@ -1,0 +1,89 @@
+"""Async device feeder: host ring -> pipelined pushes with bounded depth.
+
+The reference achieves <= 1 display frame of latency by doing exactly one
+texture upload + draw per vsync (README.md:10-11; gpu_spectrogram.rs's tick
+callback).  The TPU analog is JAX's async dispatch: a push can be ENQUEUED
+while the previous one still executes, overlapping H2D transfer of chunk
+N+1 with compute of chunk N — the double-buffered pipeline of SURVEY.md §7
+("hop-tick dispatch cadence with async dispatch depth 2").
+
+`DeviceFeeder` bounds the number of in-flight pushes (depth): unbounded
+enqueueing would hide a falling-behind pipeline until OOM; depth-1 serializes
+and wastes the transfer/compute overlap.  Depth 2 is the reference-equivalent
+setting.  Results are yielded in order once forced.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from spectrogram_tpu.models.spectrogram import SpectrogramPipeline, StreamState
+from spectrogram_tpu.utils.probe import ThroughputProbe
+
+
+class DeviceFeeder:
+    """Pipelined push loop over a host chunk source.
+
+    chunk_source: callable returning the next [S, chunk, 2] numpy block (or
+    None when exhausted) — e.g. RingBank.pop_matrix bound to the right size.
+    on_rows: optional consumer called with each push's RGBA output (host
+    numpy, forced — this is the point where latency is paid).
+    """
+
+    def __init__(
+        self,
+        pipeline: SpectrogramPipeline,
+        state: StreamState,
+        depth: int = 2,
+        on_rows: Optional[Callable[[np.ndarray], None]] = None,
+    ):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self.pipeline = pipeline
+        self.state = state
+        self.depth = depth
+        self.on_rows = on_rows
+        self.probe = ThroughputProbe()
+        self._inflight: collections.deque = collections.deque()
+
+    def _drain_one(self) -> np.ndarray:
+        rgba = self._inflight.popleft()
+        host = np.asarray(rgba)  # forces completion (relay-safe)
+        if self.on_rows is not None:
+            self.on_rows(host)
+        return host
+
+    def push(self, chunk: np.ndarray) -> Optional[np.ndarray]:
+        """Enqueue one chunk; returns a completed older result once the
+        pipeline is primed (None during the first `depth-1` pushes)."""
+        import jax.numpy as jnp
+
+        self.state, rgba = self.pipeline.push(self.state, jnp.asarray(chunk))
+        self._inflight.append(rgba)
+        n_streams = chunk.shape[0]
+        self.probe.record_push(n_streams, chunk.shape[1], self.pipeline.chunk_hops)
+        if len(self._inflight) > self.depth - 1:
+            return self._drain_one()
+        return None
+
+    def flush(self) -> list[np.ndarray]:
+        """Force all in-flight pushes (end of stream / checkpoint point)."""
+        out = []
+        while self._inflight:
+            out.append(self._drain_one())
+        return out
+
+    def run(self, chunk_source: Callable[[], Optional[np.ndarray]]) -> Iterator[np.ndarray]:
+        """Drive until the source is exhausted, yielding completed row
+        blocks in order."""
+        while True:
+            chunk = chunk_source()
+            if chunk is None:
+                break
+            done = self.push(chunk)
+            if done is not None:
+                yield done
+        yield from self.flush()

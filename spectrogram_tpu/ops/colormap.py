@@ -28,26 +28,45 @@ import jax.numpy as jnp
 from spectrogram_tpu.config import SpectrogramConfig
 
 
-def log_bin_positions(cfg: SpectrogramConfig, height: int | None = None) -> np.ndarray:
-    """Fractional magnitude-texture sample position per output pixel.
+def log_bin_positions(
+    cfg: SpectrogramConfig,
+    height: int | None = None,
+    shader_compat: bool = False,
+) -> np.ndarray:
+    """Fractional bin-axis sample position per output pixel.
 
-    Pixel y samples the bin axis at `mapped * B - 0.5` where
-    mapped = exp(lerp(ln min_f, ln max_f, (y+0.5)/H)) / max_f — exactly the
-    shader's texture coordinate times the texture width, shifted to texel
-    space (GL texel centers sit at (j+0.5)/B).
+    Default (correct) mapping: pixel y shows frequency
+    f = exp(lerp(ln min_f, ln max_f, (y+0.5)/H)); output bin j holds
+    frequency (j+1) * fs/N (fft.rs:81 skips DC), so the sample position is
+    f/(fs/N) - 1.
+
+    shader_compat=True reproduces the reference fragment shader instead
+    (gpu_spectrogram.rs:158-174): texture coord f/max_frequency times the bin
+    count, texel centers at (j+0.5)/B.  That conflates the bin axis's true
+    top (fs/2, e.g. 23.99 kHz at 48 kHz) with the hardcoded 22030 Hz — the
+    displayed axis is stretched ~9% at 48 kHz and arbitrarily wrong at other
+    rates (the golden CPU path does NOT have this bug, which is how our
+    cross-path test caught it).  See DESIGN.md D9.
     """
     h = height or cfg.viewport_height
     b = cfg.num_bins
-    mapped = np.asarray(cfg.log_frequency_fracs(h, centers=True))
-    return mapped * b - 0.5
+    if shader_compat:
+        mapped = np.asarray(cfg.log_frequency_fracs(h, centers=True))
+        return mapped * b - 0.5
+    freqs = np.asarray(cfg.log_frequency_fracs(h, centers=True)) * cfg.max_frequency
+    return freqs / cfg.bin_hz - 1.0
 
 
-def resample_matrix(cfg: SpectrogramConfig, height: int | None = None) -> np.ndarray:
-    """[H, B] f32 matrix: rgba_rows = M @ bins implements the shader's
-    bilinear log-frequency fetch.  Two nonzeros per output row."""
+def resample_matrix(
+    cfg: SpectrogramConfig,
+    height: int | None = None,
+    shader_compat: bool = False,
+) -> np.ndarray:
+    """[H, B] f32 matrix: rgba_rows = M @ bins implements the bilinear
+    log-frequency fetch.  Two nonzeros per output row."""
     h = height or cfg.viewport_height
     b = cfg.num_bins
-    pos = log_bin_positions(cfg, h)
+    pos = log_bin_positions(cfg, h, shader_compat=shader_compat)
     base = np.floor(pos)
     w = pos - base
     # Clamp-to-edge at the boundaries.  Deviation from the reference: the GL

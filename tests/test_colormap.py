@@ -52,7 +52,7 @@ def shader_reference(rows_lr: np.ndarray, lut: np.ndarray, cfg) -> np.ndarray:
 def test_matches_shader_transcription(rng):
     lut = scheme_by_name("Blue-Yellow-Red (Stereo)").lookup_table(32)
     rows = (rng.random((CFG.num_bins, 2)) * 0.2).astype(np.float32)
-    m = jnp.asarray(colormap.resample_matrix(CFG))
+    m = jnp.asarray(colormap.resample_matrix(CFG, shader_compat=True))
     ours = np.asarray(colormap.colormap_rows(jnp.asarray(rows), m, jnp.asarray(lut), CFG))
     ref = shader_reference(rows, lut, CFG)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
@@ -61,7 +61,7 @@ def test_matches_shader_transcription(rng):
 def test_matches_shader_transcription_mono(rng):
     lut = scheme_by_name("Viridis").lookup_table(32)
     rows = (rng.random((CFG.num_bins, 2)) * 0.1).astype(np.float32)
-    m = jnp.asarray(colormap.resample_matrix(CFG))
+    m = jnp.asarray(colormap.resample_matrix(CFG, shader_compat=True))
     ours = np.asarray(colormap.colormap_rows(jnp.asarray(rows), m, jnp.asarray(lut), CFG))
     ref = shader_reference(rows, lut, CFG)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
@@ -69,6 +69,11 @@ def test_matches_shader_transcription_mono(rng):
 
 def test_resample_matrix_properties():
     m = colormap.resample_matrix(CFG)
+    _check_matrix(m)
+    _check_matrix(colormap.resample_matrix(CFG, shader_compat=True))
+
+
+def _check_matrix(m):
     assert m.shape == (CFG.viewport_height, CFG.num_bins)
     # partition of unity: each output pixel blends exactly two bins
     np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-6)

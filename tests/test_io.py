@@ -90,3 +90,36 @@ def test_stream_batch_lockstep():
     assert batch.dropped_total == 0
     with pytest.raises(IndexError):
         batch.attach(9, sources.NoiseSource())
+
+
+def test_device_feeder_pipelines_in_order(rng):
+    import jax.numpy as jnp
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.io.feeder import DeviceFeeder
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    cfg = SpectrogramConfig(
+        sample_rate=8000.0, window_period=0.032, hop_period=0.008,
+        viewport_height=64, viewport_rows=16,
+    )
+    p = SpectrogramPipeline(cfg, chunk_hops=2)
+    chunks = [
+        (rng.standard_normal((3, p.chunk_size, 2)) * 0.2).astype(np.float32)
+        for _ in range(5)
+    ]
+    # reference output: sequential pushes
+    s = p.init_state(3)
+    expected = []
+    for c in chunks:
+        s, rgba = p.push(s, jnp.asarray(c))
+        expected.append(np.asarray(rgba))
+
+    feeder = DeviceFeeder(p, p.init_state(3), depth=2)
+    it = iter(chunks)
+    got = list(feeder.run(lambda: next(it, None)))
+    assert len(got) == 5
+    for g, e in zip(got, expected):
+        np.testing.assert_array_equal(g, e)
+    assert feeder.probe.summary()["pushes"] == 5
+    with pytest.raises(ValueError):
+        DeviceFeeder(p, p.init_state(1), depth=0)
