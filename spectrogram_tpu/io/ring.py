@@ -74,6 +74,10 @@ def _load_library() -> Optional[ctypes.CDLL]:
         lib.bank_push.argtypes = [ctypes.c_void_p, _u64, _f32p, _u64]
         lib.bank_push_matrix.argtypes = [ctypes.c_void_p, _f32p, _u64]
         lib.bank_pop_matrix.argtypes = [ctypes.c_void_p, _f32p, _u64, _u64p]
+        lib.bank_push_matrix_mt.argtypes = [ctypes.c_void_p, _f32p, _u64, _u64]
+        lib.bank_pop_matrix_mt.argtypes = [
+            ctypes.c_void_p, _f32p, _u64, _u64p, _u64
+        ]
         lib.bank_min_size.restype = _u64
         lib.bank_min_size.argtypes = [ctypes.c_void_p]
         lib.bank_size.restype = _u64
@@ -183,10 +187,21 @@ class StereoRing:
 
 
 class RingBank:
-    """S uniform SPSC rings; one call fills a whole [S, n, 2] device batch."""
+    """S uniform SPSC rings; one call fills a whole [S, n, 2] device batch.
 
-    def __init__(self, n_streams: int, capacity: int = 16384):
+    n_threads: worker threads for the batched matrix ops (stream ranges are
+    independent, so this is race-free).  The single-threaded copy loop alone
+    blows the 16.7 ms hop budget at 10k streams (measured 29 ms); the default
+    scales workers with stream count.
+    """
+
+    def __init__(self, n_streams: int, capacity: int = 16384,
+                 n_threads: Optional[int] = None):
         self.n_streams = int(n_streams)
+        if n_threads is None:
+            import os
+            n_threads = min(max(self.n_streams // 1024, 1), os.cpu_count() or 1, 16)
+        self.n_threads = int(n_threads)
         self._lib = _load_library()
         if self._lib is not None:
             self._handle = self._lib.bank_create(_u64(n_streams), _u64(capacity))
@@ -223,8 +238,9 @@ class RingBank:
         if frames.ndim != 3 or frames.shape[0] != self.n_streams or frames.shape[2] != 2:
             raise ValueError(f"expected [{self.n_streams}, n, 2], got {frames.shape}")
         if self._handle:
-            self._lib.bank_push_matrix(
-                self._handle, frames.ctypes.data_as(_f32p), _u64(frames.shape[1])
+            self._lib.bank_push_matrix_mt(
+                self._handle, frames.ctypes.data_as(_f32p),
+                _u64(frames.shape[1]), _u64(self.n_threads),
             )
         else:
             for s in range(self.n_streams):
@@ -241,11 +257,12 @@ class RingBank:
             out = np.empty((self.n_streams, n, 2), np.float32)
         counts = np.empty((self.n_streams,), np.uint64)
         if self._handle:
-            self._lib.bank_pop_matrix(
+            self._lib.bank_pop_matrix_mt(
                 self._handle,
                 out.ctypes.data_as(_f32p),
                 _u64(n),
                 counts.ctypes.data_as(_u64p),
+                _u64(self.n_threads),
             )
         else:
             for s in range(self.n_streams):
@@ -275,3 +292,84 @@ class RingBank:
         if self._handle:
             return int(self._lib.bank_dropped(self._handle, _u64(stream)))
         return self._rings[stream].dropped
+
+
+_i16p = ctypes.POINTER(ctypes.c_int16)
+
+
+class RingBank16:
+    """S uniform SPSC rings of int16 PCM; pops convert to f32 in one pass.
+
+    PCM's native wire format is int16 — storing it that way halves ring
+    memory and hop-tick read traffic (the host memory bus, not the TPU, is
+    the 10k-stream bottleneck; see DESIGN.md).  Native-only (no fallback):
+    this class exists purely for ingest bandwidth.
+    """
+
+    def __init__(self, n_streams: int, capacity: int = 16384,
+                 n_threads: Optional[int] = None):
+        self._lib = _load_library()
+        if self._lib is None:
+            raise RuntimeError("RingBank16 requires the native library")
+        # Always (re)bind: hasattr on a CDLL auto-creates unbound symbols, so
+        # it cannot be used as a "bound yet?" check. Idempotent.
+        self._bind16(self._lib)
+        self.n_streams = int(n_streams)
+        if n_threads is None:
+            import os
+            n_threads = min(max(self.n_streams // 1024, 1), os.cpu_count() or 1, 16)
+        self.n_threads = int(n_threads)
+        self._handle = self._lib.bank16_create(_u64(n_streams), _u64(capacity))
+        if not self._handle:
+            raise MemoryError("bank16_create failed")
+        self.capacity = int(self._lib.bank16_capacity(self._handle))
+
+    @staticmethod
+    def _bind16(lib):
+        lib.bank16_create.restype = ctypes.c_void_p
+        lib.bank16_create.argtypes = [_u64, _u64]
+        lib.bank16_destroy.argtypes = [ctypes.c_void_p]
+        lib.bank16_capacity.restype = _u64
+        lib.bank16_capacity.argtypes = [ctypes.c_void_p]
+        lib.bank16_push.restype = _u64
+        lib.bank16_push.argtypes = [ctypes.c_void_p, _u64, _i16p, _u64]
+        lib.bank16_pop_matrix_f32.argtypes = [
+            ctypes.c_void_p, _f32p, _u64, _u64p, _u64
+        ]
+        lib.bank16_min_size.restype = _u64
+        lib.bank16_min_size.argtypes = [ctypes.c_void_p]
+        lib.bank16_dropped_total.restype = _u64
+        lib.bank16_dropped_total.argtypes = [ctypes.c_void_p]
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and getattr(self, "_handle", None):
+            self._lib.bank16_destroy(self._handle)
+            self._handle = None
+
+    def push(self, stream: int, frames_i16: np.ndarray) -> int:
+        frames_i16 = np.ascontiguousarray(frames_i16, dtype=np.int16)
+        if frames_i16.ndim != 2 or frames_i16.shape[1] != 2:
+            raise ValueError(f"expected [n, 2] i16 frames, got {frames_i16.shape}")
+        return int(self._lib.bank16_push(
+            self._handle, _u64(stream),
+            frames_i16.ctypes.data_as(_i16p), _u64(len(frames_i16)),
+        ))
+
+    def pop_matrix_f32(self, n: int, out: Optional[np.ndarray] = None):
+        """Pop n frames per stream into f32 [S, n, 2] (x/32768 conversion
+        fused into the copy), zero-padded on underrun."""
+        if out is None:
+            out = np.empty((self.n_streams, n, 2), np.float32)
+        counts = np.empty((self.n_streams,), np.uint64)
+        self._lib.bank16_pop_matrix_f32(
+            self._handle, out.ctypes.data_as(_f32p), _u64(n),
+            counts.ctypes.data_as(_u64p), _u64(self.n_threads),
+        )
+        return out, counts
+
+    def min_size(self) -> int:
+        return int(self._lib.bank16_min_size(self._handle))
+
+    @property
+    def dropped_total(self) -> int:
+        return int(self._lib.bank16_dropped_total(self._handle))

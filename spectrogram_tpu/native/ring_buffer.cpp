@@ -27,6 +27,8 @@
 #include <cstring>
 #include <cstdlib>
 #include <new>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -199,24 +201,73 @@ uint64_t bank_push(RingBank *b, uint64_t stream, const float *frames,
   return push_impl(&b->rings[stream], frames, n);
 }
 
-// Push the same count of frames to every stream from one [S, n, 2] block.
-void bank_push_matrix(RingBank *b, const float *frames, uint64_t n) {
-  for (uint64_t s = 0; s < b->n_streams; ++s) {
+namespace {
+
+// Split [0, n_streams) across worker threads.  Rings are independent
+// (per-ring SPSC), so stream-range parallelism is race-free as long as each
+// stream keeps one producer and one consumer.  At 10k streams x 48 kHz the
+// single-threaded copy loop alone exceeds the 16.7 ms hop budget (measured
+// 29 ms); 4-8 workers bring it well under.
+void parallel_streams(uint64_t n_streams, uint64_t n_threads,
+                      void (*fn)(RingBank *, uint64_t, uint64_t, float *,
+                                 uint64_t, uint64_t *),
+                      RingBank *b, float *buf, uint64_t n, uint64_t *counts) {
+  if (n_threads <= 1 || n_streams < 2 * n_threads) {
+    fn(b, 0, n_streams, buf, n, counts);
+    return;
+  }
+  std::vector<std::thread> workers;
+  uint64_t per = (n_streams + n_threads - 1) / n_threads;
+  for (uint64_t t = 0; t < n_threads; ++t) {
+    uint64_t lo = t * per;
+    uint64_t hi = lo + per < n_streams ? lo + per : n_streams;
+    if (lo >= hi) break;
+    workers.emplace_back(fn, b, lo, hi, buf, n, counts);
+  }
+  for (auto &w : workers) w.join();
+}
+
+void push_range(RingBank *b, uint64_t lo, uint64_t hi, float *frames,
+                uint64_t n, uint64_t *) {
+  for (uint64_t s = lo; s < hi; ++s) {
     push_impl(&b->rings[s], frames + s * n * 2, n);
   }
 }
 
-// Fill out[S, n, 2] with n frames per stream.  Streams with fewer than n
-// buffered frames contribute what they have, zero-padded; the per-stream
-// count actually popped is written to counts[S].  One call per device feed.
-void bank_pop_matrix(RingBank *b, float *out, uint64_t n, uint64_t *counts) {
-  for (uint64_t s = 0; s < b->n_streams; ++s) {
+void pop_range(RingBank *b, uint64_t lo, uint64_t hi, float *out, uint64_t n,
+               uint64_t *counts) {
+  for (uint64_t s = lo; s < hi; ++s) {
     uint64_t got = pop_impl(&b->rings[s], out + s * n * 2, n);
     if (got < n) {
       std::memset(out + (s * n + got) * 2, 0, (n - got) * 2 * sizeof(float));
     }
     if (counts) counts[s] = got;
   }
+}
+
+}  // namespace
+
+// Push the same count of frames to every stream from one [S, n, 2] block.
+void bank_push_matrix(RingBank *b, const float *frames, uint64_t n) {
+  push_range(b, 0, b->n_streams, const_cast<float *>(frames), n, nullptr);
+}
+
+void bank_push_matrix_mt(RingBank *b, const float *frames, uint64_t n,
+                         uint64_t n_threads) {
+  parallel_streams(b->n_streams, n_threads, push_range, b,
+                   const_cast<float *>(frames), n, nullptr);
+}
+
+// Fill out[S, n, 2] with n frames per stream.  Streams with fewer than n
+// buffered frames contribute what they have, zero-padded; the per-stream
+// count actually popped is written to counts[S].  One call per device feed.
+void bank_pop_matrix(RingBank *b, float *out, uint64_t n, uint64_t *counts) {
+  pop_range(b, 0, b->n_streams, out, n, counts);
+}
+
+void bank_pop_matrix_mt(RingBank *b, float *out, uint64_t n, uint64_t *counts,
+                        uint64_t n_threads) {
+  parallel_streams(b->n_streams, n_threads, pop_range, b, out, n, counts);
 }
 
 // Smallest buffered frame count across all streams (lockstep readiness).
@@ -243,6 +294,151 @@ uint64_t bank_dropped_total(const RingBank *b) {
 
 uint64_t bank_dropped(const RingBank *b, uint64_t stream) {
   return stream < b->n_streams ? ring_dropped(&b->rings[stream]) : 0;
+}
+
+// --------------------------- int16 ring bank --------------------------------
+//
+// PCM arrives from capture/network as int16; storing it that way halves ring
+// memory and the hop-tick read traffic (the host memory bus is the 10k-stream
+// bottleneck — see io/ring.py).  The i16 -> f32 conversion (x / 32768) fuses
+// into the single pop pass.
+
+struct Ring16 {
+  int16_t *data = nullptr;  // capacity * 2 samples
+  uint64_t capacity = 0;
+  uint64_t mask = 0;
+  std::atomic<uint64_t> head{0};
+  std::atomic<uint64_t> tail{0};
+  std::atomic<uint64_t> dropped{0};
+};
+
+struct RingBank16 {
+  Ring16 *rings = nullptr;
+  int16_t *storage = nullptr;
+  uint64_t n_streams = 0;
+  uint64_t capacity = 0;
+};
+
+namespace {
+
+uint64_t push16_impl(Ring16 *r, const int16_t *frames, uint64_t n) {
+  const uint64_t head = r->head.load(std::memory_order_relaxed);
+  const uint64_t tail = r->tail.load(std::memory_order_acquire);
+  const uint64_t free_frames = r->capacity - (head - tail);
+  uint64_t accepted = n < free_frames ? n : free_frames;
+  if (accepted < n) r->dropped.fetch_add(n - accepted, std::memory_order_relaxed);
+  uint64_t start = head & r->mask;
+  uint64_t first =
+      accepted < (r->capacity - start) ? accepted : (r->capacity - start);
+  std::memcpy(r->data + 2 * start, frames, first * 2 * sizeof(int16_t));
+  if (accepted > first) {
+    std::memcpy(r->data, frames + 2 * first,
+                (accepted - first) * 2 * sizeof(int16_t));
+  }
+  r->head.store(head + accepted, std::memory_order_release);
+  return accepted;
+}
+
+void pop16_to_f32(Ring16 *r, float *out, uint64_t n, uint64_t *count) {
+  const uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  const uint64_t head = r->head.load(std::memory_order_acquire);
+  const uint64_t avail = head - tail;
+  uint64_t taken = n < avail ? n : avail;
+  constexpr float kScale = 1.0f / 32768.0f;
+  for (uint64_t i = 0; i < taken; ++i) {
+    uint64_t idx = (tail + i) & r->mask;
+    out[2 * i] = r->data[2 * idx] * kScale;
+    out[2 * i + 1] = r->data[2 * idx + 1] * kScale;
+  }
+  if (taken < n) {
+    std::memset(out + taken * 2, 0, (n - taken) * 2 * sizeof(float));
+  }
+  r->tail.store(tail + taken, std::memory_order_release);
+  if (count) *count = taken;
+}
+
+void pop16_range(RingBank16 *b, uint64_t lo, uint64_t hi, float *out,
+                 uint64_t n, uint64_t *counts) {
+  for (uint64_t s = lo; s < hi; ++s) {
+    pop16_to_f32(&b->rings[s], out + s * n * 2, n,
+                 counts ? counts + s : nullptr);
+  }
+}
+
+}  // namespace
+
+RingBank16 *bank16_create(uint64_t n_streams, uint64_t capacity) {
+  capacity = round_pow2(capacity < 2 ? 2 : capacity);
+  RingBank16 *b = new (std::nothrow) RingBank16();
+  if (!b) return nullptr;
+  b->n_streams = n_streams;
+  b->capacity = capacity;
+  b->rings = new (std::nothrow) Ring16[n_streams]();
+  b->storage = static_cast<int16_t *>(
+      std::malloc(n_streams * capacity * 2 * sizeof(int16_t)));
+  if (!b->rings || !b->storage) {
+    delete[] b->rings;
+    std::free(b->storage);
+    delete b;
+    return nullptr;
+  }
+  for (uint64_t s = 0; s < n_streams; ++s) {
+    Ring16 *r = &b->rings[s];
+    r->capacity = capacity;
+    r->mask = capacity - 1;
+    r->data = b->storage + s * capacity * 2;
+  }
+  return b;
+}
+
+void bank16_destroy(RingBank16 *b) {
+  if (!b) return;
+  delete[] b->rings;
+  std::free(b->storage);
+  delete b;
+}
+
+uint64_t bank16_capacity(const RingBank16 *b) { return b->capacity; }
+
+uint64_t bank16_push(RingBank16 *b, uint64_t stream, const int16_t *frames,
+                     uint64_t n) {
+  if (stream >= b->n_streams) return 0;
+  return push16_impl(&b->rings[stream], frames, n);
+}
+
+void bank16_pop_matrix_f32(RingBank16 *b, float *out, uint64_t n,
+                           uint64_t *counts, uint64_t n_threads) {
+  if (n_threads <= 1 || b->n_streams < 2 * n_threads) {
+    pop16_range(b, 0, b->n_streams, out, n, counts);
+    return;
+  }
+  std::vector<std::thread> workers;
+  uint64_t per = (b->n_streams + n_threads - 1) / n_threads;
+  for (uint64_t t = 0; t < n_threads; ++t) {
+    uint64_t lo = t * per;
+    uint64_t hi = lo + per < b->n_streams ? lo + per : b->n_streams;
+    if (lo >= hi) break;
+    workers.emplace_back(pop16_range, b, lo, hi, out, n, counts);
+  }
+  for (auto &w : workers) w.join();
+}
+
+uint64_t bank16_min_size(const RingBank16 *b) {
+  uint64_t m = UINT64_MAX;
+  for (uint64_t s = 0; s < b->n_streams; ++s) {
+    uint64_t sz = b->rings[s].head.load(std::memory_order_acquire) -
+                  b->rings[s].tail.load(std::memory_order_acquire);
+    if (sz < m) m = sz;
+  }
+  return b->n_streams ? m : 0;
+}
+
+uint64_t bank16_dropped_total(const RingBank16 *b) {
+  uint64_t total = 0;
+  for (uint64_t s = 0; s < b->n_streams; ++s) {
+    total += b->rings[s].dropped.load(std::memory_order_relaxed);
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -138,3 +138,20 @@ def test_validation(ring_impl):
     b = ring_mod.RingBank(2, 16)
     with pytest.raises(ValueError):
         b.push_matrix(np.zeros((3, 4, 2), np.float32))
+
+
+def test_bank16_roundtrip_and_conversion():
+    if not ring_mod.native_available():
+        pytest.skip("native ring library unavailable")
+    b = ring_mod.RingBank16(2, 64)
+    pcm = (np.arange(20, dtype=np.int16).reshape(10, 2) * 1000).astype(np.int16)
+    assert b.push(0, pcm) == 10
+    out, counts = b.pop_matrix_f32(12)
+    np.testing.assert_array_equal(counts, [10, 0])
+    np.testing.assert_allclose(out[0, :10], pcm.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(out[0, 10:], 0.0)
+    np.testing.assert_array_equal(out[1], 0.0)
+    # overrun counted
+    big = np.zeros((200, 2), np.int16)
+    b.push(1, big)
+    assert b.dropped_total > 0
