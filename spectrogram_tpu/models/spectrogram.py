@@ -108,13 +108,29 @@ class SpectrogramPipeline:
         self.chunk_size = self.chunk_hops * cfg.hop_size
         self.carry_size = stft_ops.carry_size(cfg)
         # STFT backend: "mxu" = four-step matmul FFT (ops/mxu_fft.py, the
-        # production path), "xla" = jnp.fft golden path, "auto" = mxu when a
+        # production path), "xla" = jnp.fft golden path, "pallas" = fused
+        # Pallas STFT kernel chained directly into the Pallas colormap
+        # (zero-copy half-spectrum handoff), "auto" = mxu when a
         # factorization exists for the geometry.
-        if stft_backend not in ("auto", "mxu", "xla"):
+        if stft_backend not in ("auto", "mxu", "xla", "pallas"):
             raise ValueError(f"unknown stft_backend {stft_backend!r}")
         self.fft_plan = mxu_fft.make_plan(cfg) if stft_backend != "xla" else None
-        if stft_backend == "mxu" and self.fft_plan is None:
+        if stft_backend in ("mxu", "pallas") and self.fft_plan is None:
             raise ValueError(f"no MXU factorization for geometry {cfg}")
+        if stft_backend == "auto":
+            # Fused Pallas chain when on a TPU backend and the geometry
+            # factors with even n1 — measured fastest (692k rows/s vs 658k
+            # for mxu+pallas at the bench geometry).
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            stft_backend = (
+                "pallas"
+                if on_tpu and self.fft_plan is not None and self.fft_plan.n1 % 2 == 0
+                else "mxu" if self.fft_plan is not None else "xla"
+            )
+        self.fused_chain = stft_backend == "pallas"
+        if self.fused_chain and (self.fft_plan is None or self.fft_plan.n1 % 2):
+            raise ValueError(f"fused chain needs an even-n1 plan for {cfg}")
+        self.resample_t_full = jnp.asarray(cmap_ops.resample_matrix_full(cfg).T)
         # Colormap backend: "pallas" = fused kernel (ops/pallas/colormap_kernel,
         # ~2.4x the XLA-composed path on v5e), "xla" = composed jnp ops,
         # "auto" = pallas on TPU backends, xla elsewhere (interpret-mode
@@ -182,8 +198,10 @@ class SpectrogramPipeline:
         # cost ~0.8 ms/push at 4k streams, trace-verified).
         chunk_pl = jnp.swapaxes(chunk.astype(jnp.float32), 1, 2)  # [S, 2, T]
         buf = jnp.concatenate([state.carry, chunk_pl], axis=2)    # [S, 2, C+T]
-        rows = self._stft_planar_buf(buf)  # [S, k, 2, B] f32
         new_carry = buf[:, :, buf.shape[2] - self.carry_size :]
+        if self.fused_chain:
+            return self._push_fused(state, buf, new_carry)
+        rows = self._stft_planar_buf(buf)  # [S, k, 2, B] f32
 
         if self.store_ring:
             ring = jax.lax.dynamic_update_slice(
@@ -204,6 +222,56 @@ class SpectrogramPipeline:
             row_count=state.row_count + k,
         )
         return new_state, rgba_u8
+
+    def _push_fused(self, state: StreamState, buf: jax.Array, new_carry):
+        """Fully-kernelized push: fused Pallas STFT -> fused Pallas colormap
+        with a full-half-spectrum handoff (no bin-slice pass)."""
+        from spectrogram_tpu.ops.pallas import stft_kernel
+
+        cfg = self.cfg
+        k = self.chunk_hops
+        s = buf.shape[0]
+        w, h = cfg.window_size, cfg.hop_size
+        # window planes [S*k, W] per channel (static slice framing)
+        lefts = [buf[:, 0, r * h : r * h + w] for r in range(k)]
+        rights = [buf[:, 1, r * h : r * h + w] for r in range(k)]
+        left = jnp.concatenate(lefts, axis=0) if k > 1 else lefts[0]
+        right = jnp.concatenate(rights, axis=0) if k > 1 else rights[0]
+        # NOTE row order for k>1 is [r0 streams.., r1 streams..]; remapped below.
+        mag_l, mag_r = stft_kernel.stft_mag_fused2(
+            left, right, cfg, slice_bins=False
+        )  # [S*k, N/2] incl DC
+        tabs = self.builtin_tables[state.palette_id]          # [S, R*4]
+        if k > 1:
+            tabs = jnp.tile(tabs, (k, 1))
+        packed = cmap_kernel.colormap_planes_builtin(
+            mag_l, mag_r, tabs, self.resample_t_full, cfg
+        )                                                     # [S*k, H]
+        if k > 1:
+            packed = packed.reshape(k, s, -1).swapaxes(0, 1)  # [S, k, H]
+        else:
+            packed = packed.reshape(s, 1, -1)
+        if self.store_ring:
+            rows_pl = jnp.stack(
+                [mag_l[:, 1 : w], mag_r[:, 1 : w]], axis=1
+            )  # [S*k, 2, B]
+            if k > 1:
+                rows_pl = rows_pl.reshape(k, s, 2, -1).swapaxes(0, 1)
+            else:
+                rows_pl = rows_pl.reshape(s, 1, 2, -1)
+            ring = jax.lax.dynamic_update_slice(
+                state.ring, rows_pl.astype(self.ring_dtype),
+                (0, state.cursor, 0, 0),
+            )
+        else:
+            ring = state.ring
+        cursor = (state.cursor + k) % self.viewport_rows
+        new_state = StreamState(
+            carry=new_carry, ring=ring, cursor=cursor,
+            palette_id=state.palette_id, row_count=state.row_count + k,
+        )
+        out = packed if self.packed_output else _unpack_rgba_device(packed)
+        return new_state, out
 
     def _stft(self, pcm: jax.Array) -> jax.Array:
         """[S, T, 2] interleaved PCM -> [S, rows, 2, bins] planar rows."""

@@ -82,6 +82,27 @@ def resample_matrix(
     return m
 
 
+def resample_matrix_full(cfg: SpectrogramConfig, height: int | None = None) -> np.ndarray:
+    """[H, num_bins+1] variant over the full half-spectrum INCLUDING the DC
+    column (index k = padded-FFT bin k; DC never gets weight since
+    min_frequency > bin_hz for every supported geometry).  Lets the fused
+    STFT kernel hand its [N, N/2] output straight to the colormap kernel
+    with no bin-slicing pass in between."""
+    h = height or cfg.viewport_height
+    b = cfg.num_bins + 1
+    freqs = np.asarray(cfg.log_frequency_fracs(h, centers=True)) * cfg.max_frequency
+    pos = freqs / cfg.bin_hz  # index k = bin k exactly
+    base = np.floor(pos)
+    w = pos - base
+    j0 = np.clip(base, 0, b - 1).astype(np.int64)
+    j1 = np.clip(base + 1, 0, b - 1).astype(np.int64)
+    m = np.zeros((h, b), dtype=np.float32)
+    rows = np.arange(h)
+    m[rows, j0] += (1.0 - w).astype(np.float32)
+    m[rows, j1] += w.astype(np.float32)
+    return m
+
+
 def resample_rows(rows: jax.Array, matrix: jax.Array) -> jax.Array:
     """[..., B, 2] magnitude rows -> [..., H, 2] log-frequency pixels.
 

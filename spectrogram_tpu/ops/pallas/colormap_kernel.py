@@ -267,16 +267,42 @@ def colormap_rows_builtin(
     interpret: bool = False,
 ) -> jax.Array:
     """Built-in-palette fused colormap: returns [N, H] i32 packed RGBA8888."""
-    n, _, b = rows.shape
+    return colormap_planes_builtin(
+        rows[:, 0, :], rows[:, 1, :], color_tables, matrix_t, cfg,
+        block_rows=block_rows, block_cols=block_cols,
+        precision=precision, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "block_rows", "block_cols", "precision", "interpret"),
+)
+def colormap_planes_builtin(
+    left: jax.Array,        # [N, B] f32 left magnitude plane
+    right: jax.Array,       # [N, B] f32 right magnitude plane
+    color_tables: jax.Array,
+    matrix_t: jax.Array,    # [B, H] f32 (B may include the DC column with
+                            # zero weight — lets the fused STFT hand its full
+                            # half-spectrum over without a slicing pass)
+    cfg: SpectrogramConfig,
+    block_rows: int = 128,
+    block_cols: int = 128,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jax.Array:
+    """As colormap_rows_builtin but taking separate channel planes."""
+    n, b = left.shape
     h = matrix_t.shape[1]
     res = color_tables.shape[1] // 4
 
     ts = min(block_rows, n) if n % block_rows else block_rows
     if n % ts:
         pad = ts - n % ts
-        rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0)))
+        left = jnp.pad(left, ((0, pad), (0, 0)))
+        right = jnp.pad(right, ((0, pad), (0, 0)))
         color_tables = jnp.pad(color_tables, ((0, pad), (0, 0)))
-    n_pad = rows.shape[0]
+    n_pad = left.shape[0]
     th = block_cols
     if h % th:
         matrix_t = jnp.pad(matrix_t, ((0, 0), (0, th - h % th)))
@@ -311,7 +337,7 @@ def colormap_rows_builtin(
             transcendentals=n_pad * h_pad,
         ),
         interpret=interpret,
-    )(rows[:, 0, :], rows[:, 1, :], matrix_t, color_tables)
+    )(left, right, matrix_t, color_tables)
     return out[:n, :h]
 
 

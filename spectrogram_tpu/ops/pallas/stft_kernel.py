@@ -82,6 +82,128 @@ def _kernel(
     out_r_ref[:] = _fft_mag(right_ref[:] * window, plan, consts, scale, precision)
 
 
+def _kernel2(
+    left_ref, right_ref, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+    out_l_ref, out_r_ref,
+    *, plan, precision,
+):
+    """All-2D-dot variant: flatten (rows x n1) into the matmul M dimension so
+    the MXU sees two large plain matmuls instead of many batch-TS small ones
+    (Mosaic lowers batched dot_general poorly — v1 was 4x slower than XLA).
+    """
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    ts = left_ref.shape[0]
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+    window = hann_ref[:]                                  # [m, n1]
+    twr_t = twcat_ref[:, :n2]                             # [n1, n2]
+    twi_t = twcat_ref[:, n2:]
+
+    def channel(x_ref, out_ref):
+        x = x_ref[:] * window                             # [TS, m, n1]
+        a = jnp.swapaxes(x, 1, 2)                         # [TS, n1, m]
+        a2 = a.reshape(ts * n1, m)                        # leading-dim merge
+        b2 = jnp.dot(a2, f2cat_ref[:], **kw)              # [(TS n1), 2n2]
+        b = b2.reshape(ts, n1, 2 * n2)
+        br, bi = b[..., :n2], b[..., n2:]
+        cr = br * twr_t - bi * twi_t                      # [TS, n1, n2]
+        ci = br * twi_t + bi * twr_t
+        c_cat = jnp.concatenate(
+            [jnp.swapaxes(cr, 1, 2), jnp.swapaxes(ci, 1, 2)], axis=-1
+        )                                                 # [TS, n2, 2n1]
+        c2 = c_cat.reshape(ts * n2, 2 * n1)
+        d2 = jnp.dot(c2, f1blk_ref[:], **kw)              # [(TS n2), 2k1h]
+        k1h = n1 // 2
+        d = d2.reshape(ts, n2, 2 * k1h)
+        dr = jnp.swapaxes(d[..., :k1h], 1, 2)             # [TS, k1h, n2]
+        di = jnp.swapaxes(d[..., k1h:], 1, 2)
+        scale = 2.0 / (m * n1)
+        out_ref[:] = jnp.sqrt(dr * dr + di * di) * scale
+
+    channel(left_ref, out_l_ref)
+    channel(right_ref, out_r_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "block_rows", "precision", "interpret", "slice_bins"),
+)
+def stft_mag_fused2(
+    left: jax.Array,   # [N, W] f32 full-window plane, left channel
+    right: jax.Array,  # [N, W] f32, right channel
+    cfg: SpectrogramConfig,
+    block_rows: int = 32,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    slice_bins: bool = True,
+):
+    """2D-dot fused STFT: (magL, magR) each [N, num_bins], or the full
+    [N, N/2] half-spectrum (bin index k = padded-FFT bin k, DC included)
+    with slice_bins=False — the layout colormap_planes_builtin consumes
+    against resample_matrix_full with zero copies in between."""
+    from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
+
+    plan = make_plan(cfg)
+    if plan is None or plan.n1 % 2:
+        raise ValueError(f"no even-n1 factorization for {cfg}")
+    n, w = left.shape
+    assert w == cfg.window_size, (w, cfg.window_size)
+    ts = min(block_rows, n) if n % block_rows else block_rows
+    if n % ts:
+        pad = ts - n % ts
+        left = jnp.pad(left, ((0, pad), (0, 0)))
+        right = jnp.pad(right, ((0, pad), (0, 0)))
+    n_pad = left.shape[0]
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    half = (n1 // 2) * n2
+    left3 = left.reshape(n_pad, m, n1)
+    right3 = right.reshape(n_pad, m, n1)
+    i = np.arange(w, dtype=np.float32)
+    hann2 = (0.5 * (1.0 - np.cos(2.0 * np.pi * i / w))).astype(np.float32).reshape(m, n1)
+    f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+    twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)  # [n1, 2n2]
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel2, plan=plan, precision=precision)
+    mag_l, mag_r = pl.pallas_call(
+        kernel,
+        grid=(n_pad // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, m, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, m, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const_spec(hann2),
+            const_spec(f2cat),
+            const_spec(twcat),
+            const_spec(f1blk),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (ts, n1 // 2, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (ts, n1 // 2, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * 2 * (plan.complex_macs * 2),
+            bytes_accessed=2 * n_pad * (w + half) * 4,
+            transcendentals=2 * n_pad * half,
+        ),
+        interpret=interpret,
+    )(left3, right3, jnp.asarray(hann2), jnp.asarray(f2cat), jnp.asarray(twcat),
+      jnp.asarray(f1blk))
+    mag_l = mag_l.reshape(n_pad, half)[:n]
+    mag_r = mag_r.reshape(n_pad, half)[:n]
+    if slice_bins:
+        return mag_l[:, 1:w], mag_r[:, 1:w]  # bins k = 1..W-1 (fft.rs:81)
+    return mag_l, mag_r
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "block_rows", "precision", "interpret")
 )

@@ -41,3 +41,19 @@ def test_fused_stft_pads_ragged(rng):
     )
     assert mag_l.shape == (n, CFG.num_bins)
     np.testing.assert_allclose(np.asarray(mag_l), golden[:, 0], atol=3e-5, rtol=1e-4)
+
+
+def test_fused2_stft_matches_golden(rng):
+    n = 8
+    w = CFG.window_size
+    pcm = (rng.standard_normal((n, w, 2)) * 0.3).astype(np.float32)
+    golden = np.asarray(stft.stft_frame_planar(jnp.asarray(pcm), CFG))
+    mag_l, mag_r = stft_kernel.stft_mag_fused2(
+        jnp.asarray(pcm[:, :, 0]),
+        jnp.asarray(pcm[:, :, 1]),
+        CFG,
+        block_rows=4,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(mag_l), golden[:, 0], atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mag_r), golden[:, 1], atol=3e-5, rtol=1e-4)

@@ -117,3 +117,45 @@ def test_viewport_rows_rounds_to_chunk_multiple():
 def test_carry_matches_stft_helper():
     p = make_pipeline()
     assert p.carry_size == stft_ops.carry_size(CFG) == CFG.window_size - CFG.hop_size
+
+
+def test_fused_chain_matches_default_backend(rng):
+    """stft_backend='pallas' (fused kernel chain, interpret on CPU) must
+    match the default mxu+xla path."""
+    p_ref = SpectrogramPipeline(CFG, chunk_hops=2, packed_output=True,
+                                colormap_backend="xla")
+    import spectrogram_tpu.ops.pallas.colormap_kernel as ck
+    import spectrogram_tpu.ops.pallas.stft_kernel as sk
+    import jax
+
+    # interpret mode on CPU for both pallas kernels
+    orig_ck, orig_sk = ck.colormap_planes_builtin, sk.stft_mag_fused2
+    ck_i = lambda *a, **kw: orig_ck(*a, **{**kw, "interpret": True})
+    sk_i = lambda *a, **kw: orig_sk(*a, **{**kw, "interpret": True})
+    ck.colormap_planes_builtin = ck_i
+    sk.stft_mag_fused2 = sk_i
+    try:
+        p_fused = SpectrogramPipeline(CFG, chunk_hops=2, packed_output=True,
+                                      stft_backend="pallas")
+        s_ref = p_ref.init_state(3, palette_id=0)
+        s_fus = p_fused.init_state(3, palette_id=0)
+        for i in range(3):
+            chunk = jnp.asarray(
+                rng.standard_normal((3, p_ref.chunk_size, 2)).astype(np.float32) * 0.2
+            )
+            s_ref, out_ref = p_ref.push(s_ref, chunk)
+            s_fus, out_fus = p_fused.push(s_fus, chunk)
+            a = np.asarray(out_ref).view(np.uint8)
+            b = np.asarray(out_fus).view(np.uint8)
+            diff = np.abs(a.astype(int) - b.astype(int))
+            assert diff.max() <= 1, diff.max()
+        assert int(s_fus.cursor) == int(s_ref.cursor)
+        # rings agree too (bf16)
+        np.testing.assert_allclose(
+            np.asarray(s_fus.ring.astype(jnp.float32)),
+            np.asarray(s_ref.ring.astype(jnp.float32)),
+            atol=1e-2, rtol=1e-2,
+        )
+    finally:
+        ck.colormap_planes_builtin = orig_ck
+        sk.stft_mag_fused2 = orig_sk
