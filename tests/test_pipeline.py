@@ -150,12 +150,12 @@ def test_fused_chain_matches_default_backend(rng):
             diff = np.abs(a.astype(int) - b.astype(int))
             assert diff.max() <= 1, diff.max()
         assert int(s_fus.cursor) == int(s_ref.cursor)
-        # rings agree too (bf16)
-        np.testing.assert_allclose(
-            np.asarray(s_fus.ring.astype(jnp.float32)),
-            np.asarray(s_ref.ring.astype(jnp.float32)),
-            atol=1e-2, rtol=1e-2,
-        )
+        # rings store different bin layouts by design (fused = permuted full
+        # half-spectrum); the rendered viewports must still agree.
+        vp_ref = np.asarray(p_ref.render_viewport(s_ref)).view(np.uint8)
+        vp_fus = np.asarray(p_fused.render_viewport(s_fus)).view(np.uint8)
+        vdiff = np.abs(vp_ref.astype(int) - vp_fus.astype(int))
+        assert vdiff.max() <= 2  # bf16 ring rounding + fp association
     finally:
         ck.colormap_planes_builtin = orig_ck
         sk.stft_mag_fused2 = orig_sk
