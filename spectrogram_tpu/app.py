@@ -135,6 +135,17 @@ def cmd_live(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    import os
+
+    if args.streams:
+        os.environ["BENCH_STREAMS"] = str(args.streams)
+    import bench  # repo-root bench.py when run from a checkout
+
+    bench.main()
+    return 0
+
+
 def cmd_palettes(_args) -> int:
     from spectrogram_tpu.color.colorscheme import DEFAULT_COLOR_SCHEMES
 
@@ -189,6 +200,10 @@ def main(argv=None) -> int:
 
     sub.add_parser("palettes", help="list color schemes").set_defaults(fn=cmd_palettes)
     sub.add_parser("inputs", help="list input devices/sources").set_defaults(fn=cmd_inputs)
+
+    p_bench = sub.add_parser("bench", help="run the throughput benchmark")
+    p_bench.add_argument("--streams", type=int, default=None)
+    p_bench.set_defaults(fn=cmd_bench)
 
     args = parser.parse_args(argv)
     if args.cmd == "render" and args.source == "file" and not args.input:

@@ -20,12 +20,17 @@ Split-real formulation: each channel is its own real-input FFT — exactly
 equal to the reference's packed-complex + conjugate unpack (fft.rs:57,81-92)
 in exact arithmetic, with none of its reverse/unpack passes.
 
-STATUS: experimental, correct (parity-tested) but currently SLOWER than the
-XLA-composed block-matrix path (ops/mxu_fft.stft_planar_windows) on v5e:
-Mosaic keeps too many 3D temporaries live (blocks > 16 rows OOM the 16 MB
-VMEM scope) and batch-16 dots starve the MXU (~6.2 ms vs 1.6 ms at 4096
-streams).  Kept as the starting point for a revisit with scratch-based
-temporary reuse; the production pipeline does not use it.
+Two variants:
+* `stft_mag_fused` (v1, _kernel): batched-dot formulation.  Correct but 4x
+  slower than the XLA composition — Mosaic lowers batch-TS small dots
+  poorly and keeps 3D temps live (blocks > 16 rows OOM the 16 MB VMEM
+  scope).  Kept as a negative result with tests.
+* `stft_mag_fused2` (v2, _kernel2): all-2D-dot formulation — (rows x n1)
+  flattened into the matmul M dimension.  THE PRODUCTION PATH: chained
+  into colormap_planes_builtin it holds the bench record (1.19x north
+  star).  ts=32 blocks; 64 OOMs VMEM.  A k2-major permuted-output variant
+  (skipping the final transposes) was tried and reverted: minor dim
+  n1/2=16 pads 8x in (8,128) lane tiles.
 """
 
 from __future__ import annotations

@@ -85,3 +85,31 @@ def test_stereo_separation_both_paths():
     # gradient's 1.0 end)
     assert peak_px[0] != peak_px[2]  # not gray
     assert gold_px[0] != gold_px[2]
+
+
+def test_structural_similarity_golden_vs_production():
+    """A music-like signal (chord + sweep) renders structurally similar
+    luminance maps through both laws — the automated replacement for the
+    reference's screenshot eyeballing (SURVEY.md §4c)."""
+    fs = CFG.sample_rate
+    t = np.arange(int(0.5 * fs)) / fs
+    sweep = np.sin(2 * np.pi * (200 + 1500 * t / t[-1]) * t)
+    chord = sum(np.sin(2 * np.pi * f * t) for f in (330.0, 440.0, 550.0))
+    x = (0.3 * sweep + 0.15 * chord).astype(np.float32)
+    pcm = np.stack([x, x], axis=-1)
+
+    p = SpectrogramPipeline(CFG, store_ring=False)
+    prod = np.asarray(p.process(jnp.asarray(pcm), palette_id=2))
+    prod_lum = prod[..., :3].astype(np.float64).sum(-1)  # [rows, H]
+
+    g = GoldenSpectrogram(CFG)
+    n_cols = 4
+    cols = g.render(pcm[: CFG.window_size + (n_cols - 1) * CFG.hop_size + 1])
+    gold_lum = cols[..., :3].astype(np.float64).sum(-1)  # [cols, H]
+
+    # compare per-row luminance profiles at matching times
+    for i in range(n_cols):
+        a = prod_lum[i] - prod_lum[i].mean()
+        b = gold_lum[i] - gold_lum[i].mean()
+        corr = (a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum())
+        assert corr > 0.8, (i, corr)
