@@ -193,6 +193,11 @@ class SpectrogramPipeline:
         """
         cfg = self.cfg
         k = self.chunk_hops
+        if chunk.ndim != 3 or chunk.shape[1:] != (self.chunk_size, 2):
+            raise ValueError(
+                f"chunk must be [S, {self.chunk_size}, 2] "
+                f"(chunk_hops={k} x hop={cfg.hop_size}); got {chunk.shape}"
+            )
         # One small transpose at the ingestion edge; everything downstream is
         # channels-planar (transposing the full carry+chunk buffer instead
         # cost ~0.8 ms/push at 4k streams, trace-verified).

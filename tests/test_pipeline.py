@@ -159,3 +159,14 @@ def test_fused_chain_matches_default_backend(rng):
     finally:
         ck.colormap_planes_builtin = orig_ck
         sk.stft_mag_fused2 = orig_sk
+
+
+def test_push_rejects_wrong_chunk_shape(rng):
+    import pytest
+
+    p = make_pipeline()
+    s = p.init_state(1)
+    with pytest.raises(ValueError, match="chunk must be"):
+        p.push(s, jnp.zeros((1, p.chunk_size + 1, 2), jnp.float32))
+    with pytest.raises(ValueError, match="chunk must be"):
+        p.push(p.init_state(1), jnp.zeros((1, p.chunk_size), jnp.float32))
