@@ -37,6 +37,31 @@ from spectrogram_tpu.config import SpectrogramConfig
 LUT_RES = 32  # table resolution; R*4 = 128 = one lane tile
 
 
+def _auto_blocks(b: int, block_rows, block_cols) -> tuple[int, int]:
+    """VMEM-aware default tile sizes for the colormap kernels.
+
+    Budget model: double-buffered row planes cost ~2*ts*b*4*2 bytes and the
+    double-buffered matrix tile b*th*4*2 — both scale with the bin count, so
+    BOTH tile dims shrink as b grows (a 4096-pt-window geometry, b=4095,
+    overflows the 16 MB scope by ~192 KB at the old fixed 128x128).
+    Explicit callers override either dim independently.
+    """
+    if b <= 2560:
+        auto = (128, 128)
+    elif b <= 5120:
+        auto = (64, 128)
+    elif b <= 10240:
+        auto = (32, 64)
+    elif b <= 20480:
+        auto = (16, 32)
+    else:
+        raise ValueError(
+            f"{b} bins exceeds the supported colormap-kernel tiling; "
+            "reduce the window size or use the XLA colormap backend"
+        )
+    return (block_rows or auto[0], block_cols or auto[1])
+
+
 def _kernel(
     left_ref,    # [TS, B] f32 magnitude rows, left channel
     right_ref,   # [TS, B] f32, right channel
@@ -112,8 +137,8 @@ def colormap_rows_fused(
     v_tables: jax.Array,   # [N, R, 4] f32 per-row pan-axis tables
     matrix_t: jax.Array,   # [B, H] f32 resample matrix, transposed
     cfg: SpectrogramConfig,
-    block_rows: int = 128,
-    block_cols: int = 128,
+    block_rows: int | None = None,
+    block_cols: int | None = None,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     packed: bool = False,
@@ -130,6 +155,7 @@ def colormap_rows_fused(
     h = matrix_t.shape[1]
     res = u_tables.shape[1]
 
+    block_rows, block_cols = _auto_blocks(b, block_rows, block_cols)
     ts = min(block_rows, n) if n % block_rows else block_rows
     if n % ts:
         pad = ts - n % ts
@@ -261,8 +287,8 @@ def colormap_rows_builtin(
     color_tables: jax.Array,  # [N, R*4] f32 (col t*4+c: rgb, col 3: stereo flag)
     matrix_t: jax.Array,    # [B, H] f32
     cfg: SpectrogramConfig,
-    block_rows: int = 128,
-    block_cols: int = 128,
+    block_rows: int | None = None,
+    block_cols: int | None = None,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
 ) -> jax.Array:
@@ -286,7 +312,7 @@ def colormap_planes_builtin(
                             # zero weight — lets the fused STFT hand its full
                             # half-spectrum over without a slicing pass)
     cfg: SpectrogramConfig,
-    block_rows: int = 128,
+    block_rows: int | None = None,
     block_cols: int = 128,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
@@ -296,6 +322,7 @@ def colormap_planes_builtin(
     h = matrix_t.shape[1]
     res = color_tables.shape[1] // 4
 
+    block_rows, block_cols = _auto_blocks(b, block_rows, block_cols)
     ts = min(block_rows, n) if n % block_rows else block_rows
     if n % ts:
         pad = ts - n % ts

@@ -2,6 +2,7 @@
 the CPU backend; the real-hardware run is exercised by bench/verify)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -105,3 +106,48 @@ def test_builtin_kernel_matches_generic(rng):
 def test_unpack_rgba_layout():
     packed = np.array([[0x04030201]], dtype=np.int32)
     np.testing.assert_array_equal(ck.unpack_rgba(packed)[0, 0], [1, 2, 3, 4])
+
+
+def test_auto_block_tiers(rng):
+    """The adaptive VMEM tiers (finding from self-review): every tier's code
+    path runs in interpret mode, and the tiered outputs match the XLA path."""
+    for b_bins, exp in [(2048, (128, 128)), (4095, (64, 128)),
+                        (8191, (32, 64)), (16383, (16, 32))]:
+        assert ck._auto_blocks(b_bins, None, None) == exp
+    assert ck._auto_blocks(4095, 8, None) == (8, 128)  # explicit override
+    with pytest.raises(ValueError):
+        ck._auto_blocks(30_000, None, None)
+
+    # run a big-bin geometry through the auto default (tier 64) end to end
+    big = SpectrogramConfig(
+        sample_rate=8000.0, window_period=4096 / 8000.0,
+        hop_period=1024 / 8000.0, viewport_height=128,
+    )
+    n = 4
+    rows = jnp.asarray(rng.random((n, 2, big.num_bins)).astype(np.float32) * 0.05)
+    u, v = stacked_factored_tables(32)
+    pid = np.ones(n, np.int64)
+    mat = jnp.asarray(cm.resample_matrix(big))
+    ref = np.asarray(
+        cm.rgba_f32_to_u8(
+            cm.sample_lut_factored(
+                jnp.asarray(u[pid]), jnp.asarray(v[pid]),
+                cm.pan_fraction(
+                    cm.resample_rows(jnp.moveaxis(rows, -2, -1), mat)[..., 0],
+                    cm.resample_rows(jnp.moveaxis(rows, -2, -1), mat)[..., 1],
+                ),
+                cm.db_normalize(
+                    cm.resample_rows(jnp.moveaxis(rows, -2, -1), mat)[..., 0],
+                    cm.resample_rows(jnp.moveaxis(rows, -2, -1), mat)[..., 1],
+                    big,
+                ),
+            )
+        )
+    )
+    tabs = jnp.asarray(ck.builtin_color_tables(32)[pid])
+    packed = np.asarray(
+        ck.colormap_rows_builtin(rows, tabs, jnp.asarray(mat.T), big, interpret=True)
+    )
+    out = ck.unpack_rgba(packed)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
