@@ -94,6 +94,23 @@ def native_available() -> bool:
     return _load_library() is not None
 
 
+def _check_out(out, shape) -> np.ndarray:
+    """Validate a caller-supplied output buffer before handing its pointer to
+    C: wrong dtype/shape/strides would mean silent memory corruption."""
+    if out is None:
+        return np.empty(shape, np.float32)
+    if (
+        out.dtype != np.float32
+        or out.shape != shape
+        or not out.flags["C_CONTIGUOUS"]
+    ):
+        raise ValueError(
+            f"out buffer must be C-contiguous float32 {shape}; got "
+            f"{out.dtype} {out.shape} contiguous={out.flags['C_CONTIGUOUS']}"
+        )
+    return out
+
+
 def _as_frames(frames: np.ndarray) -> np.ndarray:
     frames = np.ascontiguousarray(frames, dtype=np.float32)
     if frames.ndim != 2 or frames.shape[1] != 2:
@@ -253,8 +270,7 @@ class RingBank:
         stream s.  `out` may be preallocated (pinned) to avoid per-tick
         allocation.
         """
-        if out is None:
-            out = np.empty((self.n_streams, n, 2), np.float32)
+        out = _check_out(out, (self.n_streams, n, 2))
         counts = np.empty((self.n_streams,), np.uint64)
         if self._handle:
             self._lib.bank_pop_matrix_mt(
@@ -358,8 +374,7 @@ class RingBank16:
     def pop_matrix_f32(self, n: int, out: Optional[np.ndarray] = None):
         """Pop n frames per stream into f32 [S, n, 2] (x/32768 conversion
         fused into the copy), zero-padded on underrun."""
-        if out is None:
-            out = np.empty((self.n_streams, n, 2), np.float32)
+        out = _check_out(out, (self.n_streams, n, 2))
         counts = np.empty((self.n_streams,), np.uint64)
         self._lib.bank16_pop_matrix_f32(
             self._handle, out.ctypes.data_as(_f32p), _u64(n),

@@ -67,15 +67,21 @@ class StreamGroupManager:
             state = pipeline.init_state(self.group_capacity, palette_id=palette_id)
             group = StreamGroup(cfg, pipeline, state, [])
             self._groups[cfg] = group
-        if group.n_streams >= self.group_capacity:
+        # Reuse a tombstoned slot before growing (long-running services churn
+        # streams; leaking slots would exhaust the group at low occupancy).
+        if -1 in group.stream_ids:
+            slot = group.stream_ids.index(-1)
+        elif group.n_streams < self.group_capacity:
+            slot = group.n_streams
+            group.stream_ids.append(-1)  # placeholder, set below
+        else:
             raise RuntimeError(
                 f"group for {cfg.sample_rate:.0f} Hz full "
                 f"({self.group_capacity} slots); create a second manager shard"
             )
-        slot = group.n_streams
         stream_id = self._next_id
         self._next_id += 1
-        group.stream_ids.append(stream_id)
+        group.stream_ids[slot] = stream_id
         self._locations[stream_id] = (cfg, slot)
         pid = group.state.palette_id.at[slot].set(palette_id)
         group.state = group.state._replace(palette_id=pid)

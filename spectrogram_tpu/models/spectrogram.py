@@ -35,7 +35,6 @@ import numpy as np
 from spectrogram_tpu.color.colorscheme import (
     stacked_backgrounds,
     stacked_factored_tables,
-    stacked_lookup_tables,
 )
 from spectrogram_tpu.config import SpectrogramConfig
 from spectrogram_tpu.ops import colormap as cmap_ops
@@ -99,12 +98,10 @@ class SpectrogramPipeline:
         # instead of retained. store_ring=False keeps a zero-length ring.
         self.store_ring = bool(store_ring)
         res = lut_resolution or cfg.lut_resolution
-        self.lut_stack = jnp.asarray(stacked_lookup_tables(res))        # [P,r,r,4]
         u, v = stacked_factored_tables(res)
         self.lut_u = jnp.asarray(u)                                     # [P,r,4]
         self.lut_v = jnp.asarray(v)                                     # [P,r,4]
         self.backgrounds = jnp.asarray(stacked_backgrounds())           # [P,3] u8
-        self.resample = jnp.asarray(cmap_ops.resample_matrix(cfg))      # [H,B]
         self.chunk_size = self.chunk_hops * cfg.hop_size
         self.carry_size = stft_ops.carry_size(cfg)
         # STFT backend: "mxu" = four-step matmul FFT (ops/mxu_fft.py, the

@@ -62,7 +62,11 @@ class LogScale:
                 v = val * (1.0 + self.base / (light_density + 1) * i)
                 if v > end:
                     break
-                ticks.append(v)
+                # the last subdivision can land exactly on the next bold tick
+                # (val*(1 + base*ld/(ld+1)) == val*base when ld+1 | base*ld);
+                # skip duplicates rather than double-labeling a pixel
+                if v < val * self.base:
+                    ticks.append(v)
             val *= self.base
         return ticks
 

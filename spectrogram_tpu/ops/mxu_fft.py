@@ -260,7 +260,10 @@ def stft_rows_split_planar(
     profiling showed those passes cost more than the FFT arithmetic.
     """
     plan = plan or make_plan(cfg)
-    if plan is None or plan.n1 % 2:
+    # Half-spectrum stage 2 yields bins k < N/2; that covers the contract's
+    # k = 1..W-1 only when W <= N/2, i.e. pad_factor >= 2.  pad_factor=1
+    # would silently return half the bins — fall back to the XLA path.
+    if plan is None or plan.n1 % 2 or cfg.pad_factor < 2:
         return stft_ops.stft_rows_planar(pcm, cfg)
     w = cfg.window_size
     frames = stft_ops.frame_signal(pcm, cfg)  # [..., rows, W, 2]

@@ -37,6 +37,18 @@ from spectrogram_tpu.config import SpectrogramConfig
 LUT_RES = 32  # table resolution; R*4 = 128 = one lane tile
 
 
+def _subtile_for(th: int) -> int:
+    """In-kernel pixel-axis subtile: <=128 and must divide th exactly (a
+    non-dividing subtile would leave tail columns UNWRITTEN — VMEM garbage)."""
+    if th <= 128:
+        return th
+    if th % 128 == 0:
+        return 128
+    raise ValueError(
+        f"block_cols={th} not supported: must be <= 128 or a multiple of 128"
+    )
+
+
 def _auto_blocks(b: int, block_rows, block_cols) -> tuple[int, int]:
     """VMEM-aware default tile sizes for the colormap kernels.
 
@@ -313,7 +325,7 @@ def colormap_planes_builtin(
                             # half-spectrum over without a slicing pass)
     cfg: SpectrogramConfig,
     block_rows: int | None = None,
-    block_cols: int = 128,
+    block_cols: int | None = None,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
 ) -> jax.Array:
@@ -342,7 +354,7 @@ def colormap_planes_builtin(
         db_eps=cfg.db_epsilon,
         res=res,
         precision=precision,
-        subtile=min(128, th),
+        subtile=_subtile_for(th),
     )
     # 2-D grid (row blocks x pixel-column tiles).  Between consecutive grid
     # steps the row-block index map is unchanged while j sweeps, so Pallas

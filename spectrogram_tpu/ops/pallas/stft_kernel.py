@@ -150,6 +150,9 @@ def stft_mag_fused2(
     plan = make_plan(cfg)
     if plan is None or plan.n1 % 2:
         raise ValueError(f"no even-n1 factorization for {cfg}")
+    if cfg.pad_factor < 2:
+        # half-spectrum covers bins 1..W-1 only when W <= N/2
+        raise ValueError(f"fused STFT requires pad_factor >= 2, got {cfg}")
     n, w = left.shape
     assert w == cfg.window_size, (w, cfg.window_size)
     ts = min(block_rows, n) if n % block_rows else block_rows
@@ -162,8 +165,7 @@ def stft_mag_fused2(
     half = (n1 // 2) * n2
     left3 = left.reshape(n_pad, m, n1)
     right3 = right.reshape(n_pad, m, n1)
-    i = np.arange(w, dtype=np.float32)
-    hann2 = (0.5 * (1.0 - np.cos(2.0 * np.pi * i / w))).astype(np.float32).reshape(m, n1)
+    hann2 = stft_ops.hann_window_np(w).reshape(m, n1)
     f2cat, twr, twi, f1blk = _block_plan_constants(plan)
     twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)  # [n1, 2n2]
 
@@ -244,9 +246,7 @@ def stft_mag_fused(
     right3 = right.reshape(n_pad, m, n1)
     # Constants travel as pallas inputs with constant index maps (Pallas
     # rejects captured array constants).
-    i = np.arange(w, dtype=np.float32)
-    hann = (0.5 * (1.0 - np.cos(2.0 * np.pi * i / w))).astype(np.float32)
-    hann2 = hann.reshape(m, n1)
+    hann2 = stft_ops.hann_window_np(w).reshape(m, n1)
     (f2r, f2i), (twr, twi), (f1r, f1i) = _half_plan_constants(plan)
     twr_t, twi_t = np.ascontiguousarray(twr.T), np.ascontiguousarray(twi.T)
 

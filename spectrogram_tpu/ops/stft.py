@@ -32,6 +32,15 @@ import jax.numpy as jnp
 from spectrogram_tpu.config import SpectrogramConfig
 
 
+def hann_window_np(window_size: int) -> "np.ndarray":
+    """Periodic Hann as numpy (for kernel constants; same law as
+    hann_window)."""
+    import numpy as np
+
+    i = np.arange(window_size, dtype=np.float32)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * i / window_size))).astype(np.float32)
+
+
 def hann_window(window_size: int, dtype=jnp.float32) -> jax.Array:
     """Periodic Hann window: 0.5 * (1 - cos(2*pi*i / window_size)).
 

@@ -61,8 +61,12 @@ def chunk_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(STREAM_AXIS, None, None))
 
 
-def rgba_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(STREAM_AXIS, None, None, None))
+def rgba_sharding(mesh: Mesh, packed: bool = False) -> NamedSharding:
+    """Output rows sharding; packed pipelines emit rank-3 [S, k, H] int32."""
+    spec = (
+        P(STREAM_AXIS, None, None) if packed else P(STREAM_AXIS, None, None, None)
+    )
+    return NamedSharding(mesh, spec)
 
 
 def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
@@ -80,7 +84,7 @@ def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh):
     return jax.jit(
         pipeline.push_impl,
         in_shardings=(ss, chunk_sharding(mesh)),
-        out_shardings=(ss, rgba_sharding(mesh)),
+        out_shardings=(ss, rgba_sharding(mesh, pipeline.packed_output)),
         donate_argnums=0,
     )
 
@@ -105,11 +109,16 @@ def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh):
         global_rows = jax.lax.psum(local_rows, STREAM_AXIS)
         return new_state, rgba, global_rows
 
+    rgba_spec = (
+        P(STREAM_AXIS, None, None)
+        if pipeline.packed_output
+        else P(STREAM_AXIS, None, None, None)
+    )
     mapped = jax.shard_map(
         per_chip,
         mesh=mesh,
         in_specs=(state_specs, P(STREAM_AXIS, None, None)),
-        out_specs=(state_specs, P(STREAM_AXIS, None, None, None), P()),
+        out_specs=(state_specs, rgba_spec, P()),
     )
     return jax.jit(mapped, donate_argnums=0)
 

@@ -87,6 +87,20 @@ class LiveSession:
         if self.scfg.enable_analyzer:
             self.analyzer = SpectrumAnalyzer(cfg)
             self.levels = self.analyzer.init_levels(1)
+            # One jitted step for the analyzer side-path: eager op-by-op
+            # dispatch costs 12-30 ms RPC each on relay-tunneled backends
+            # and would recompute the STFT op-by-op every tick.
+            import jax
+
+            pipeline = self.pipeline
+            analyzer = self.analyzer
+
+            @jax.jit
+            def _analyzer_step(levels, buf):
+                rows = pipeline._stft_planar_buf(buf)
+                return analyzer.push_rows(levels, jnp.moveaxis(rows, -2, -1))
+
+            self._analyzer_step = _analyzer_step
 
     def select_input(self, index: int):
         """Switch input device/source (pause -> reconfigure -> play)."""
@@ -118,10 +132,7 @@ class LiveSession:
                 buf = jnp.concatenate(
                     [self.state.carry, jnp.swapaxes(chunk, 1, 2)], axis=2
                 )
-                rows = self.pipeline._stft_planar_buf(buf)
-                self.levels = self.analyzer.push_rows(
-                    self.levels, jnp.moveaxis(rows, -2, -1)
-                )
+                self.levels = self._analyzer_step(self.levels, buf)
             with self.latency.measure():
                 self.state, rgba = self.pipeline.push(self.state, chunk)
                 rgba_np = np.asarray(rgba[0])

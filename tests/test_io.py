@@ -123,3 +123,15 @@ def test_device_feeder_pipelines_in_order(rng):
     assert feeder.probe.summary()["pushes"] == 5
     with pytest.raises(ValueError):
         DeviceFeeder(p, p.init_state(1), depth=0)
+
+
+def test_pop_matrix_rejects_bad_out_buffer():
+    from spectrogram_tpu.io.ring import RingBank
+
+    b = RingBank(2, 16)
+    with pytest.raises(ValueError, match="C-contiguous float32"):
+        b.pop_matrix(4, out=np.empty((2, 4, 2)))  # float64
+    with pytest.raises(ValueError, match="C-contiguous float32"):
+        b.pop_matrix(4, out=np.empty((2, 5, 2), np.float32))  # wrong shape
+    with pytest.raises(ValueError, match="C-contiguous float32"):
+        b.pop_matrix(4, out=np.empty((2, 4, 4), np.float32)[:, :, ::2])

@@ -86,3 +86,24 @@ def test_log_scale_ticks():
     assert all(32.0 <= t <= 22030.0 for t in ticks)
     labels = dict((lbl, pos) for pos, lbl in sc.labeled_ticks())
     assert "1k" in labels and "10k" in labels
+
+
+def test_slot_reuse_after_detach():
+    """Self-review finding: tombstoned slots must be reclaimed, not leaked."""
+    mgr = StreamGroupManager(group_capacity=2, chunk_hops=2)
+    s0 = mgr.add_stream(CFG_A)
+    s1 = mgr.add_stream(CFG_A)
+    mgr.remove_stream(s0)
+    s2 = mgr.add_stream(CFG_A)           # must reuse s0's slot
+    assert mgr.location(s2)[1] == 0
+    mgr.remove_stream(s1)
+    s3 = mgr.add_stream(CFG_A)           # reuses s1's slot
+    assert mgr.location(s3)[1] == 1
+    with pytest.raises(RuntimeError):
+        mgr.add_stream(CFG_A)            # now genuinely full
+
+
+def test_log_scale_ticks_no_duplicates():
+    sc = LogScale(20.0, 20000.0, 100, base=10.0)
+    ticks = sc.key_points(40)
+    assert len(ticks) == len(set(ticks))

@@ -80,3 +80,24 @@ def test_multi_push_sharded_ring_render(pipeline, rng):
         s, _ = step(s, chunk)
     viewport = pipeline.render_viewport(s)
     assert viewport.shape == (8, pipeline.viewport_rows, CFG.viewport_height, 4)
+
+
+def test_sharded_push_packed_output(pipeline, rng):
+    """Self-review finding: sharding specs must match the rank-3 packed
+    output (the production wire format)."""
+    m = pmesh.make_mesh()
+    p = SpectrogramPipeline(CFG, chunk_hops=4, store_ring=False, packed_output=True)
+    step = pmesh.sharded_push(p, m)
+    s = pmesh.shard_state(p.init_state(8), m)
+    chunk = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, p.chunk_size, 2)).astype(np.float32)),
+        pmesh.chunk_sharding(m),
+    )
+    s, packed = step(s, chunk)
+    assert packed.shape == (8, p.chunk_hops, CFG.viewport_height)
+    assert packed.dtype == jnp.int32
+    # shard_map variant too
+    step2 = pmesh.shard_map_step(p, m)
+    s2 = pmesh.shard_state(p.init_state(8), m)
+    s2, packed2, rows = step2(s2, chunk)
+    assert packed2.shape == packed.shape and int(rows) == 8 * p.chunk_hops
