@@ -96,3 +96,32 @@ def test_checkpoint_geometry_mismatch(tmp_path):
     )
     with pytest.raises(ValueError):
         checkpoint.load_state(tmp_path / "c", other)
+
+
+def test_checkpoint_roundtrip_sharded(tmp_path, rng):
+    """Save from a sharded 8-device state, restore, re-shard, continue."""
+    import jax
+    import jax.numpy as jnp
+    from spectrogram_tpu.parallel import mesh as pmesh
+
+    cfg = SpectrogramConfig(
+        sample_rate=8000.0, window_period=0.032, hop_period=0.008,
+        viewport_height=64, viewport_rows=16,
+    )
+    p = SpectrogramPipeline(cfg, chunk_hops=4)
+    m = pmesh.make_mesh()
+    step = pmesh.sharded_push(p, m)
+    s = pmesh.shard_state(p.init_state(8, palette_id=3), m)
+    chunk = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, p.chunk_size, 2)).astype(np.float32)),
+        pmesh.chunk_sharding(m),
+    )
+    s, _ = step(s, chunk)
+    checkpoint.save_state(tmp_path / "sharded", s, cfg)
+
+    restored = checkpoint.load_state(tmp_path / "sharded", p)
+    restored = pmesh.shard_state(restored, m)
+    assert len(restored.ring.addressable_shards) == 8
+    restored, rgba = step(restored, chunk)
+    assert int(restored.row_count) == 8
+    assert rgba.shape[0] == 8
