@@ -4,8 +4,9 @@ The 10k-stream architecture end-to-end, scaled by --streams (default 512 so
 it runs quickly anywhere):
 
   producer threads -> RingBank16 (int16 SPSC rings, counted drops)
-      -> pop_matrix_f32 (one multithreaded drain per hop tick)
-      -> DeviceFeeder (depth-2 async dispatch, fused Pallas chain)
+      -> pop_matrix_f32_planar (one multithreaded drain per hop tick;
+         i16->f32 conversion AND channel deinterleave fused into the copy)
+      -> push_planar via DeviceFeeder (depth-2 async dispatch, fused chain)
       -> packed RGBA8888 rows out (zero-copy u8 view on host)
 
 Run: python examples/serve.py [--streams 512] [--seconds 5]
@@ -72,10 +73,11 @@ def main() -> None:
             t0 += n
             time.sleep(n / cfg.sample_rate * 0.9)
 
-    feeder = DeviceFeeder(pipeline, pipeline.init_state(s), depth=2)
+    feeder = DeviceFeeder(pipeline, pipeline.init_state(s), depth=2, planar=True)
+
     # Warm up (compile) BEFORE opening the ingest: first-compile latency
     # would otherwise overflow every ring (drops counted, but pointless).
-    warm = np.zeros((s, pipeline.chunk_size, 2), np.float32)
+    warm = np.zeros((s, 2, pipeline.chunk_size), np.float32)
     t0 = time.perf_counter()
     feeder.push(warm)
     feeder.flush()
@@ -88,7 +90,7 @@ def main() -> None:
     for t in threads:
         t.start()
     tracker = LatencyTracker()
-    pinned = np.empty((s, pipeline.chunk_size, 2), np.float32)
+    pinned = np.empty((s, 2, pipeline.chunk_size), np.float32)  # planar
     rows_out = 0
     drains = 0
     deadline = time.time() + args.seconds
@@ -99,7 +101,7 @@ def main() -> None:
             time.sleep(0.001)
             continue
         t0 = time.perf_counter()
-        chunk, _ = bank.pop_matrix_f32(pipeline.chunk_size, pinned)
+        chunk, _ = bank.pop_matrix_f32_planar(pipeline.chunk_size, pinned)
         done = feeder.push(chunk)
         if done is not None:
             rows_out += done.shape[0] * done.shape[1]

@@ -39,6 +39,7 @@ class DeviceFeeder:
         state: StreamState,
         depth: int = 2,
         on_rows: Optional[Callable[[np.ndarray], None]] = None,
+        planar: bool = False,
     ):
         if depth < 1:
             raise ValueError("depth must be >= 1")
@@ -46,6 +47,9 @@ class DeviceFeeder:
         self.state = state
         self.depth = depth
         self.on_rows = on_rows
+        # planar=True: chunks arrive [S, 2, n] (RingBank.pop_matrix_planar),
+        # skipping the device-side transpose at the ingestion edge.
+        self.planar = bool(planar)
         self.probe = ThroughputProbe()
         self._inflight: collections.deque = collections.deque()
 
@@ -61,10 +65,16 @@ class DeviceFeeder:
         pipeline is primed (None during the first `depth-1` pushes)."""
         import jax.numpy as jnp
 
-        self.state, rgba = self.pipeline.push(self.state, jnp.asarray(chunk))
+        if self.planar:
+            self.state, rgba = self.pipeline.push_planar(
+                self.state, jnp.asarray(chunk)
+            )
+            chunk_len = chunk.shape[2]
+        else:
+            self.state, rgba = self.pipeline.push(self.state, jnp.asarray(chunk))
+            chunk_len = chunk.shape[1]
         self._inflight.append(rgba)
-        n_streams = chunk.shape[0]
-        self.probe.record_push(n_streams, chunk.shape[1], self.pipeline.chunk_hops)
+        self.probe.record_push(chunk.shape[0], chunk_len, self.pipeline.chunk_hops)
         if len(self._inflight) > self.depth - 1:
             return self._drain_one()
         return None

@@ -78,6 +78,9 @@ def _load_library() -> Optional[ctypes.CDLL]:
         lib.bank_pop_matrix_mt.argtypes = [
             ctypes.c_void_p, _f32p, _u64, _u64p, _u64
         ]
+        lib.bank_pop_matrix_planar_mt.argtypes = [
+            ctypes.c_void_p, _f32p, _u64, _u64p, _u64
+        ]
         lib.bank_min_size.restype = _u64
         lib.bank_min_size.argtypes = [ctypes.c_void_p]
         lib.bank_size.restype = _u64
@@ -288,6 +291,28 @@ class RingBank:
                 out[s, len(got) :] = 0.0
         return out, counts
 
+    def pop_matrix_planar(self, n: int, out: Optional[np.ndarray] = None):
+        """Pop n frames per stream into PLANAR [S, 2, n] — the channels are
+        deinterleaved during the host copy (free), so the device never pays
+        the [S, n, 2] -> [S, 2, n] transpose before a planar push."""
+        out = _check_out(out, (self.n_streams, 2, n))
+        counts = np.empty((self.n_streams,), np.uint64)
+        if self._handle:
+            self._lib.bank_pop_matrix_planar_mt(
+                self._handle,
+                out.ctypes.data_as(_f32p),
+                _u64(n),
+                counts.ctypes.data_as(_u64p),
+                _u64(self.n_threads),
+            )
+        else:
+            for s in range(self.n_streams):
+                got = self._rings[s].pop(n)
+                counts[s] = len(got)
+                out[s, :, : len(got)] = got.T
+                out[s, :, len(got) :] = 0.0
+        return out, counts
+
     def min_size(self) -> int:
         if self._handle:
             return int(self._lib.bank_min_size(self._handle))
@@ -352,6 +377,9 @@ class RingBank16:
         lib.bank16_pop_matrix_f32.argtypes = [
             ctypes.c_void_p, _f32p, _u64, _u64p, _u64
         ]
+        lib.bank16_pop_matrix_f32_planar.argtypes = [
+            ctypes.c_void_p, _f32p, _u64, _u64p, _u64
+        ]
         lib.bank16_min_size.restype = _u64
         lib.bank16_min_size.argtypes = [ctypes.c_void_p]
         lib.bank16_dropped_total.restype = _u64
@@ -377,6 +405,16 @@ class RingBank16:
         out = _check_out(out, (self.n_streams, n, 2))
         counts = np.empty((self.n_streams,), np.uint64)
         self._lib.bank16_pop_matrix_f32(
+            self._handle, out.ctypes.data_as(_f32p), _u64(n),
+            counts.ctypes.data_as(_u64p), _u64(self.n_threads),
+        )
+        return out, counts
+
+    def pop_matrix_f32_planar(self, n: int, out: Optional[np.ndarray] = None):
+        """Planar [S, 2, n] f32 drain with fused i16->f32 conversion."""
+        out = _check_out(out, (self.n_streams, 2, n))
+        counts = np.empty((self.n_streams,), np.uint64)
+        self._lib.bank16_pop_matrix_f32_planar(
             self._handle, out.ctypes.data_as(_f32p), _u64(n),
             counts.ctypes.data_as(_u64p), _u64(self.n_threads),
         )

@@ -180,6 +180,21 @@ class SpectrogramPipeline:
         place in HBM."""
         return self.push_impl(state, chunk)
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def push_planar(self, state: StreamState, chunk_planar: jax.Array):
+        """As push, but the chunk arrives channels-planar [S, 2, chunk_size]
+        (e.g. from RingBank.pop_matrix_planar) — skips the device-side
+        transpose at the ingestion edge."""
+        return self.push_planar_impl(state, chunk_planar)
+
+    def push_planar_impl(self, state: StreamState, chunk_planar: jax.Array):
+        if chunk_planar.ndim != 3 or chunk_planar.shape[1:] != (2, self.chunk_size):
+            raise ValueError(
+                f"planar chunk must be [S, 2, {self.chunk_size}]; got "
+                f"{chunk_planar.shape}"
+            )
+        return self._push_core(state, chunk_planar.astype(jnp.float32))
+
     def push_impl(self, state: StreamState, chunk: jax.Array):
         """Advance all streams by one chunk (pure, untraced — used directly
         by `push` and by `parallel.mesh` under shard_map/pjit).
@@ -197,8 +212,14 @@ class SpectrogramPipeline:
             )
         # One small transpose at the ingestion edge; everything downstream is
         # channels-planar (transposing the full carry+chunk buffer instead
-        # cost ~0.8 ms/push at 4k streams, trace-verified).
+        # cost ~0.8 ms/push at 4k streams, trace-verified).  push_planar
+        # skips even this when the host supplies planar chunks.
         chunk_pl = jnp.swapaxes(chunk.astype(jnp.float32), 1, 2)  # [S, 2, T]
+        return self._push_core(state, chunk_pl)
+
+    def _push_core(self, state: StreamState, chunk_pl: jax.Array):
+        cfg = self.cfg
+        k = self.chunk_hops
         buf = jnp.concatenate([state.carry, chunk_pl], axis=2)    # [S, 2, C+T]
         new_carry = buf[:, :, buf.shape[2] - self.carry_size :]
         if self.fused_chain:

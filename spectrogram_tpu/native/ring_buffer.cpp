@@ -245,6 +245,33 @@ void pop_range(RingBank *b, uint64_t lo, uint64_t hi, float *out, uint64_t n,
   }
 }
 
+// Planar variant: out[S, 2, n] with the channels deinterleaved during the
+// copy — free on the host, and saves the device a [S, n, 2] -> [S, 2, n]
+// transpose pass before every push (the TPU pipeline is channels-planar).
+void pop_range_planar(RingBank *b, uint64_t lo, uint64_t hi, float *out,
+                      uint64_t n, uint64_t *counts) {
+  for (uint64_t s = lo; s < hi; ++s) {
+    Ring *r = &b->rings[s];
+    float *left = out + s * 2 * n;
+    float *right = left + n;
+    const uint64_t tail = r->tail.load(std::memory_order_relaxed);
+    const uint64_t head = r->head.load(std::memory_order_acquire);
+    const uint64_t avail = head - tail;
+    uint64_t taken = n < avail ? n : avail;
+    for (uint64_t i = 0; i < taken; ++i) {
+      uint64_t idx = (tail + i) & r->mask;
+      left[i] = r->data[2 * idx];
+      right[i] = r->data[2 * idx + 1];
+    }
+    if (taken < n) {
+      std::memset(left + taken, 0, (n - taken) * sizeof(float));
+      std::memset(right + taken, 0, (n - taken) * sizeof(float));
+    }
+    r->tail.store(tail + taken, std::memory_order_release);
+    if (counts) counts[s] = taken;
+  }
+}
+
 }  // namespace
 
 // Push the same count of frames to every stream from one [S, n, 2] block.
@@ -268,6 +295,14 @@ void bank_pop_matrix(RingBank *b, float *out, uint64_t n, uint64_t *counts) {
 void bank_pop_matrix_mt(RingBank *b, float *out, uint64_t n, uint64_t *counts,
                         uint64_t n_threads) {
   parallel_streams(b->n_streams, n_threads, pop_range, b, out, n, counts);
+}
+
+// Planar [S, 2, n] drain (channels deinterleaved host-side; see
+// pop_range_planar).
+void bank_pop_matrix_planar_mt(RingBank *b, float *out, uint64_t n,
+                               uint64_t *counts, uint64_t n_threads) {
+  parallel_streams(b->n_streams, n_threads, pop_range_planar, b, out, n,
+                   counts);
 }
 
 // Smallest buffered frame count across all streams (lockstep readiness).
@@ -365,6 +400,31 @@ void pop16_range(RingBank16 *b, uint64_t lo, uint64_t hi, float *out,
   }
 }
 
+void pop16_range_planar(RingBank16 *b, uint64_t lo, uint64_t hi, float *out,
+                        uint64_t n, uint64_t *counts) {
+  constexpr float kScale = 1.0f / 32768.0f;
+  for (uint64_t s = lo; s < hi; ++s) {
+    Ring16 *r = &b->rings[s];
+    float *left = out + s * 2 * n;
+    float *right = left + n;
+    const uint64_t tail = r->tail.load(std::memory_order_relaxed);
+    const uint64_t head = r->head.load(std::memory_order_acquire);
+    const uint64_t avail = head - tail;
+    uint64_t taken = n < avail ? n : avail;
+    for (uint64_t i = 0; i < taken; ++i) {
+      uint64_t idx = (tail + i) & r->mask;
+      left[i] = r->data[2 * idx] * kScale;
+      right[i] = r->data[2 * idx + 1] * kScale;
+    }
+    if (taken < n) {
+      std::memset(left + taken, 0, (n - taken) * sizeof(float));
+      std::memset(right + taken, 0, (n - taken) * sizeof(float));
+    }
+    r->tail.store(tail + taken, std::memory_order_release);
+    if (counts) counts[s] = taken;
+  }
+}
+
 }  // namespace
 
 RingBank16 *bank16_create(uint64_t n_streams, uint64_t capacity) {
@@ -419,6 +479,23 @@ void bank16_pop_matrix_f32(RingBank16 *b, float *out, uint64_t n,
     uint64_t hi = lo + per < b->n_streams ? lo + per : b->n_streams;
     if (lo >= hi) break;
     workers.emplace_back(pop16_range, b, lo, hi, out, n, counts);
+  }
+  for (auto &w : workers) w.join();
+}
+
+void bank16_pop_matrix_f32_planar(RingBank16 *b, float *out, uint64_t n,
+                                  uint64_t *counts, uint64_t n_threads) {
+  if (n_threads <= 1 || b->n_streams < 2 * n_threads) {
+    pop16_range_planar(b, 0, b->n_streams, out, n, counts);
+    return;
+  }
+  std::vector<std::thread> workers;
+  uint64_t per = (b->n_streams + n_threads - 1) / n_threads;
+  for (uint64_t t = 0; t < n_threads; ++t) {
+    uint64_t lo = t * per;
+    uint64_t hi = lo + per < b->n_streams ? lo + per : b->n_streams;
+    if (lo >= hi) break;
+    workers.emplace_back(pop16_range_planar, b, lo, hi, out, n, counts);
   }
   for (auto &w : workers) w.join();
 }

@@ -135,3 +135,22 @@ def test_pop_matrix_rejects_bad_out_buffer():
         b.pop_matrix(4, out=np.empty((2, 5, 2), np.float32))  # wrong shape
     with pytest.raises(ValueError, match="C-contiguous float32"):
         b.pop_matrix(4, out=np.empty((2, 4, 4), np.float32)[:, :, ::2])
+
+
+def test_device_feeder_planar_matches(rng):
+    import jax.numpy as jnp
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.io.feeder import DeviceFeeder
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    cfg = SpectrogramConfig(
+        sample_rate=8000.0, window_period=0.032, hop_period=0.008,
+        viewport_height=64, viewport_rows=16,
+    )
+    p = SpectrogramPipeline(cfg, chunk_hops=2)
+    chunk = (rng.standard_normal((2, p.chunk_size, 2)) * 0.2).astype(np.float32)
+    f1 = DeviceFeeder(p, p.init_state(2), depth=1)
+    out1 = f1.push(chunk)
+    f2 = DeviceFeeder(p, p.init_state(2), depth=1, planar=True)
+    out2 = f2.push(chunk.transpose(0, 2, 1).copy())
+    np.testing.assert_array_equal(out1, out2)

@@ -170,3 +170,17 @@ def test_push_rejects_wrong_chunk_shape(rng):
         p.push(s, jnp.zeros((1, p.chunk_size + 1, 2), jnp.float32))
     with pytest.raises(ValueError, match="chunk must be"):
         p.push(p.init_state(1), jnp.zeros((1, p.chunk_size), jnp.float32))
+
+
+def test_push_planar_matches_push(rng):
+    p = make_pipeline(packed_output=True)
+    chunk = rng.standard_normal((3, p.chunk_size, 2)).astype(np.float32) * 0.2
+    s1 = p.init_state(3)
+    s1, out1 = p.push(s1, jnp.asarray(chunk))
+    s2 = p.init_state(3)
+    s2, out2 = p.push_planar(s2, jnp.asarray(chunk.transpose(0, 2, 1).copy()))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(s1.carry), np.asarray(s2.carry))
+    import pytest
+    with pytest.raises(ValueError, match="planar chunk"):
+        p.push_planar(p.init_state(1), jnp.zeros((1, p.chunk_size, 2), jnp.float32))

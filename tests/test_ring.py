@@ -155,3 +155,25 @@ def test_bank16_roundtrip_and_conversion():
     big = np.zeros((200, 2), np.int16)
     b.push(1, big)
     assert b.dropped_total > 0
+
+
+def test_bank_pop_matrix_planar(ring_impl):
+    b = ring_mod.RingBank(2, 64)
+    b.push(0, frames(10))
+    out, counts = b.pop_matrix_planar(8)
+    assert out.shape == (2, 2, 8)
+    np.testing.assert_array_equal(counts, [8, 0])
+    np.testing.assert_array_equal(out[0, 0], np.arange(8, dtype=np.float32))
+    np.testing.assert_array_equal(out[0, 1], -np.arange(8, dtype=np.float32))
+    np.testing.assert_array_equal(out[1], 0.0)
+
+
+def test_bank16_pop_planar():
+    if not ring_mod.native_available():
+        pytest.skip("native ring library unavailable")
+    b = ring_mod.RingBank16(1, 32)
+    pcm = (np.arange(12, dtype=np.int16).reshape(6, 2) * 1000).astype(np.int16)
+    b.push(0, pcm)
+    out, counts = b.pop_matrix_f32_planar(6)
+    assert out.shape == (1, 2, 6)
+    np.testing.assert_allclose(out[0].T, pcm.astype(np.float32) / 32768.0)
