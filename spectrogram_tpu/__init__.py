@@ -22,6 +22,20 @@ from spectrogram_tpu.ops.colormap import (
     rgba_f32_to_u8,
 )
 
+
+def __getattr__(name):
+    # Lazy heavyweight exports: importing the package stays cheap for tools
+    # that only need config/palettes.
+    if name == "SpectrogramPipeline":
+        from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+        return SpectrogramPipeline
+    if name == "LiveSession":
+        from spectrogram_tpu.session import LiveSession
+
+        return LiveSession
+    raise AttributeError(name)
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -41,5 +55,7 @@ __all__ = [
     "composite_over_background",
     "resample_matrix",
     "rgba_f32_to_u8",
+    "SpectrogramPipeline",
+    "LiveSession",
     "__version__",
 ]
