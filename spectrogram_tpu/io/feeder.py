@@ -50,6 +50,9 @@ class DeviceFeeder:
         # planar=True: chunks arrive [S, 2, n] (RingBank.pop_matrix_planar),
         # skipping the device-side transpose at the ingestion edge.
         self.planar = bool(planar)
+        # copy_chunks=False only if the caller rotates >= depth+1 host
+        # buffers (see push()).
+        self.copy_chunks = True
         self.probe = ThroughputProbe()
         self._inflight: collections.deque = collections.deque()
 
@@ -65,6 +68,13 @@ class DeviceFeeder:
         pipeline is primed (None during the first `depth-1` pushes)."""
         import jax.numpy as jnp
 
+        # np.asarray below may return before the H2D transfer completes on
+        # async backends; callers reusing one pinned buffer (the recommended
+        # pop_matrix pattern) would overwrite it mid-transfer.  A defensive
+        # host copy is cheap relative to the push; callers that rotate
+        # >= depth+1 buffers can pass copy=False via the attribute.
+        if getattr(self, "copy_chunks", True) and isinstance(chunk, np.ndarray):
+            chunk = chunk.copy()
         if self.planar:
             self.state, rgba = self.pipeline.push_planar(
                 self.state, jnp.asarray(chunk)

@@ -55,15 +55,31 @@ class _SourcePump(threading.Thread):
         self._ring = ring
         self._dt = block / sample_rate
         self._block = block
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     def run(self):
-        while not self._stop.is_set():
+        # Deadline-based pacing: sleeping a fixed dt AFTER each push would
+        # run systematically below real time (dt + push cost + sleep
+        # overshoot per block) and slowly starve the consumer.
+        next_t = time.monotonic()
+        while not self._halt.is_set():
             self._ring.push(self._source.next_block(self._block))
-            time.sleep(self._dt)
+            next_t += self._dt
+            delay = next_t - time.monotonic()
+            if delay > 0:
+                self._halt.wait(delay)
+            else:
+                next_t = time.monotonic()  # fell behind; resync
 
-    def stop(self):
-        self._stop.set()
+    def stop(self, join: bool = True):
+        # NOTE: the event is named _halt because threading.Thread has an
+        # INTERNAL _stop() method that join() calls — shadowing it with an
+        # Event makes join() raise.
+        self._halt.set()
+        if join and self.is_alive():
+            # Join before a new pump starts: two producers on one SPSC ring
+            # would violate the native ring's memory-order contract.
+            self.join(timeout=2.0)
 
 
 class InputRegistry:
@@ -159,6 +175,10 @@ class InputRegistry:
         stop = getattr(self._active, "stop", None)
         if stop:
             stop()
+        # Capture streams hold OS audio handles; stop() only pauses them.
+        close = getattr(self._active, "close", None)
+        if close:
+            close()
         self._active = None
 
 
@@ -174,15 +194,17 @@ class StreamBatch:
         self.bank = RingBank(n_streams, ring_capacity)
         self.n_streams = n_streams
         self._sources: dict[int, object] = {}
+        self._attached: set[int] = set()
 
     def attach(self, stream: int, source) -> None:
         if not 0 <= stream < self.n_streams:
             raise IndexError(stream)
         self._sources[stream] = source
+        self._attached.add(stream)
 
     def attach_all(self, factory: Callable[[int], object]) -> None:
         for s in range(self.n_streams):
-            self._sources[s] = factory(s)
+            self.attach(s, factory(s))
 
     def tick(self, n_frames: int) -> None:
         """Pull n_frames from every attached source into its ring."""
@@ -193,8 +215,18 @@ class StreamBatch:
         return self.bank.push(stream, frames)
 
     def ready_chunks(self, chunk_frames: int) -> int:
-        """How many full lockstep chunks every stream can supply."""
-        return self.bank.min_size() // chunk_frames
+        """How many full lockstep chunks every ATTACHED stream can supply.
+
+        Unattached slots are excluded: they never receive samples, so
+        including them would pin readiness at zero forever after a partial
+        attach (their rings stay empty; pop zero-fills them).
+        """
+        if not self._attached:
+            return 0
+        if len(self._attached) == self.n_streams:
+            return self.bank.min_size() // chunk_frames
+        m = min(self.bank.size(s) for s in self._attached)
+        return m // chunk_frames
 
     def pop_chunk(self, n_frames: int, out: Optional[np.ndarray] = None):
         return self.bank.pop_matrix(n_frames, out)

@@ -196,8 +196,13 @@ class CaptureSource:
         info = sd.query_devices(device, "input")
         self.sample_rate = float(sample_rate or info["default_samplerate"])
         channels = min(int(info["max_input_channels"]), 2)
+        self.overflows = 0  # upstream capture loss, counted (never silent)
 
         def callback(indata, frames, time_info, status):  # real-time thread
+            if status and status.input_overflow:
+                # PortAudio dropped frames BEFORE the ring; count it so the
+                # no-silent-drops guarantee holds end to end.
+                self.overflows += 1
             ring.push(adapt_channels(indata[:, :channels]))
 
         self._stream = sd.InputStream(

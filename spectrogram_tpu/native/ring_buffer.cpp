@@ -32,7 +32,10 @@
 
 namespace {
 
-struct Ring {
+// alignas(64): rings sit contiguously in banks; without padding, adjacent
+// rings' head/tail atomics share cache lines and false-share across the
+// producer threads and the 4-16 pop workers on the hot hop-tick path.
+struct alignas(64) Ring {
   float *data = nullptr;  // capacity * 2 floats (stereo frames)
   uint64_t capacity = 0;  // frames, power of two
   uint64_t mask = 0;
@@ -125,8 +128,11 @@ void ring_destroy(Ring *r) {
 uint64_t ring_capacity(const Ring *r) { return r->capacity; }
 
 uint64_t ring_size(const Ring *r) {
-  return r->head.load(std::memory_order_acquire) -
-         r->tail.load(std::memory_order_acquire);
+  // Load tail FIRST: with head loaded first, a concurrent pop can make
+  // tail > loaded-head and the unsigned difference wraps to ~2^64.
+  const uint64_t tail = r->tail.load(std::memory_order_acquire);
+  const uint64_t head = r->head.load(std::memory_order_acquire);
+  return head >= tail ? head - tail : 0;
 }
 
 uint64_t ring_dropped(const Ring *r) {
@@ -201,17 +207,21 @@ uint64_t bank_push(RingBank *b, uint64_t stream, const float *frames,
   return push_impl(&b->rings[stream], frames, n);
 }
 
+}  // extern "C" (pause: templates cannot have C linkage)
+
 namespace {
 
 // Split [0, n_streams) across worker threads.  Rings are independent
 // (per-ring SPSC), so stream-range parallelism is race-free as long as each
 // stream keeps one producer and one consumer.  At 10k streams x 48 kHz the
 // single-threaded copy loop alone exceeds the 16.7 ms hop budget (measured
-// 29 ms); 4-8 workers bring it well under.
-void parallel_streams(uint64_t n_streams, uint64_t n_threads,
-                      void (*fn)(RingBank *, uint64_t, uint64_t, float *,
-                                 uint64_t, uint64_t *),
-                      RingBank *b, float *buf, uint64_t n, uint64_t *counts) {
+// 29 ms); 4-8 workers bring it well under.  Templated so every bank variant
+// shares ONE fan-out implementation (keeping three hand-copies in sync was
+// its own bug class).
+template <typename BankT, typename RangeFn>
+void parallel_streams(BankT *b, uint64_t n_threads, RangeFn fn, float *buf,
+                      uint64_t n, uint64_t *counts) {
+  const uint64_t n_streams = b->n_streams;
   if (n_threads <= 1 || n_streams < 2 * n_threads) {
     fn(b, 0, n_streams, buf, n, counts);
     return;
@@ -274,6 +284,8 @@ void pop_range_planar(RingBank *b, uint64_t lo, uint64_t hi, float *out,
 
 }  // namespace
 
+extern "C" {
+
 // Push the same count of frames to every stream from one [S, n, 2] block.
 void bank_push_matrix(RingBank *b, const float *frames, uint64_t n) {
   push_range(b, 0, b->n_streams, const_cast<float *>(frames), n, nullptr);
@@ -281,8 +293,8 @@ void bank_push_matrix(RingBank *b, const float *frames, uint64_t n) {
 
 void bank_push_matrix_mt(RingBank *b, const float *frames, uint64_t n,
                          uint64_t n_threads) {
-  parallel_streams(b->n_streams, n_threads, push_range, b,
-                   const_cast<float *>(frames), n, nullptr);
+  parallel_streams(b, n_threads, push_range, const_cast<float *>(frames), n,
+                   nullptr);
 }
 
 // Fill out[S, n, 2] with n frames per stream.  Streams with fewer than n
@@ -294,15 +306,14 @@ void bank_pop_matrix(RingBank *b, float *out, uint64_t n, uint64_t *counts) {
 
 void bank_pop_matrix_mt(RingBank *b, float *out, uint64_t n, uint64_t *counts,
                         uint64_t n_threads) {
-  parallel_streams(b->n_streams, n_threads, pop_range, b, out, n, counts);
+  parallel_streams(b, n_threads, pop_range, out, n, counts);
 }
 
 // Planar [S, 2, n] drain (channels deinterleaved host-side; see
 // pop_range_planar).
 void bank_pop_matrix_planar_mt(RingBank *b, float *out, uint64_t n,
                                uint64_t *counts, uint64_t n_threads) {
-  parallel_streams(b->n_streams, n_threads, pop_range_planar, b, out, n,
-                   counts);
+  parallel_streams(b, n_threads, pop_range_planar, out, n, counts);
 }
 
 // Smallest buffered frame count across all streams (lockstep readiness).
@@ -338,7 +349,7 @@ uint64_t bank_dropped(const RingBank *b, uint64_t stream) {
 // bottleneck — see io/ring.py).  The i16 -> f32 conversion (x / 32768) fuses
 // into the single pop pass.
 
-struct Ring16 {
+struct alignas(64) Ring16 {
   int16_t *data = nullptr;  // capacity * 2 samples
   uint64_t capacity = 0;
   uint64_t mask = 0;
@@ -468,43 +479,20 @@ uint64_t bank16_push(RingBank16 *b, uint64_t stream, const int16_t *frames,
 
 void bank16_pop_matrix_f32(RingBank16 *b, float *out, uint64_t n,
                            uint64_t *counts, uint64_t n_threads) {
-  if (n_threads <= 1 || b->n_streams < 2 * n_threads) {
-    pop16_range(b, 0, b->n_streams, out, n, counts);
-    return;
-  }
-  std::vector<std::thread> workers;
-  uint64_t per = (b->n_streams + n_threads - 1) / n_threads;
-  for (uint64_t t = 0; t < n_threads; ++t) {
-    uint64_t lo = t * per;
-    uint64_t hi = lo + per < b->n_streams ? lo + per : b->n_streams;
-    if (lo >= hi) break;
-    workers.emplace_back(pop16_range, b, lo, hi, out, n, counts);
-  }
-  for (auto &w : workers) w.join();
+  parallel_streams(b, n_threads, pop16_range, out, n, counts);
 }
 
 void bank16_pop_matrix_f32_planar(RingBank16 *b, float *out, uint64_t n,
                                   uint64_t *counts, uint64_t n_threads) {
-  if (n_threads <= 1 || b->n_streams < 2 * n_threads) {
-    pop16_range_planar(b, 0, b->n_streams, out, n, counts);
-    return;
-  }
-  std::vector<std::thread> workers;
-  uint64_t per = (b->n_streams + n_threads - 1) / n_threads;
-  for (uint64_t t = 0; t < n_threads; ++t) {
-    uint64_t lo = t * per;
-    uint64_t hi = lo + per < b->n_streams ? lo + per : b->n_streams;
-    if (lo >= hi) break;
-    workers.emplace_back(pop16_range_planar, b, lo, hi, out, n, counts);
-  }
-  for (auto &w : workers) w.join();
+  parallel_streams(b, n_threads, pop16_range_planar, out, n, counts);
 }
 
 uint64_t bank16_min_size(const RingBank16 *b) {
   uint64_t m = UINT64_MAX;
   for (uint64_t s = 0; s < b->n_streams; ++s) {
-    uint64_t sz = b->rings[s].head.load(std::memory_order_acquire) -
-                  b->rings[s].tail.load(std::memory_order_acquire);
+    const uint64_t tail = b->rings[s].tail.load(std::memory_order_acquire);
+    const uint64_t head = b->rings[s].head.load(std::memory_order_acquire);
+    uint64_t sz = head >= tail ? head - tail : 0;
     if (sz < m) m = sz;
   }
   return b->n_streams ? m : 0;

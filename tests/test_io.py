@@ -154,3 +154,24 @@ def test_device_feeder_planar_matches(rng):
     f2 = DeviceFeeder(p, p.init_state(2), depth=1, planar=True)
     out2 = f2.push(chunk.transpose(0, 2, 1).copy())
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_ready_chunks_partial_attach():
+    """Self-review finding: unattached slots must not pin readiness at 0."""
+    batch = StreamBatch(4, ring_capacity=1024)
+    batch.attach(1, sources.SineSource(8000.0))
+    batch.tick(256)
+    assert batch.ready_chunks(128) == 2  # only stream 1 counts
+    assert batch.ready_chunks(512) == 0
+    empty = StreamBatch(2, ring_capacity=64)
+    assert empty.ready_chunks(8) == 0  # nothing attached
+
+
+def test_registry_stop_joins_pump():
+    """Self-review finding: stop() must join the pump so two producers never
+    overlap on one SPSC ring."""
+    reg = InputRegistry()
+    reg.select(len(reg) - 1)
+    pump = reg._active
+    reg.stop()
+    assert not pump.is_alive()
