@@ -141,6 +141,21 @@ class LiveSession:
                 self.scope_state = self.scope.push(self.scope_state, chunk)
         return out
 
+    def metrics(self) -> dict:
+        """Observability snapshot: rows, latency, drops (SURVEY §5 gap)."""
+        out = {
+            "ring_fill": len(self.registry.ring),
+            "ring_dropped": self.registry.ring.dropped,
+            "latency": self.latency.summary(),
+        }
+        if self.state is not None:
+            out["rows_produced"] = int(self.state.row_count)
+            out["palette_id"] = int(self.state.palette_id[0])
+        src = self.registry._active
+        if src is not None and hasattr(src, "overflows"):
+            out["capture_overflows"] = src.overflows
+        return out
+
     def viewport(self) -> np.ndarray:
         """[R, H, 4] u8 current scrolling view."""
         vp = self.pipeline.render_viewport(self.state)

@@ -125,3 +125,14 @@ def test_checkpoint_roundtrip_sharded(tmp_path, rng):
     restored, rgba = step(restored, chunk)
     assert int(restored.row_count) == 8
     assert rgba.shape[0] == 8
+
+
+def test_session_metrics():
+    sess = small_session()
+    sess.select_input(len(sess.registry) - 3)
+    time.sleep(0.15)
+    sess.process_available(max_chunks=2)
+    m = sess.metrics()
+    assert "ring_dropped" in m and "latency" in m
+    assert m["rows_produced"] >= 0
+    sess.stop()
