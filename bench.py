@@ -52,6 +52,11 @@ def main() -> None:
         colormap_backend=os.environ.get("BENCH_COLORMAP", "auto"),
         stft_backend=os.environ.get("BENCH_STFT", "auto"),
         packed_output=True,  # RGBA8888 i32 wire format (production config)
+        # "fast" relaxes only the colormap resample matmul to bf16 (its
+        # all-positive contraction bounds the error at ~0.4% relative — on
+        # par with the reference's F16F16 texture); the FFT always runs
+        # true-f32.  BENCH_PRECISION=exact for all-f32.
+        precision_profile=os.environ.get("BENCH_PRECISION", "fast"),
     )
 
     rng = np.random.default_rng(0)
@@ -101,7 +106,7 @@ def main() -> None:
                 "metric": "spectrogram_rows_per_sec_per_chip",
                 "value": round(rows_per_sec, 1),
                 "unit": "rows/s (4096-pt FFT, STFT+colormap->RGBA, "
-                f"{n_streams} streams)",
+                f"{n_streams} streams, {pipeline.precision_profile} profile)",
                 "vs_baseline": round(rows_per_sec / BASELINE_ROWS_PER_SEC, 4),
                 "on_device_ms_per_push": round(dt * 1e3, 3),
                 "p50_dispatch_latency_ms": round(p50_latency * 1e3, 3),

@@ -85,6 +85,7 @@ class SpectrogramPipeline:
         stft_backend: str = "auto",
         colormap_backend: str = "auto",
         packed_output: bool = False,
+        precision_profile: str = "exact",
     ):
         cfg.validate()
         self.cfg = cfg
@@ -146,6 +147,25 @@ class SpectrogramPipeline:
         # with arr.view(np.uint8).reshape(..., 4).
         self.packed_output = bool(packed_output)
         self.builtin_tables = jnp.asarray(cmap_kernel.builtin_color_tables(res))
+        # precision_profile: "exact" pins true-f32 matmuls everywhere (the
+        # parity contract vs the reference's f32 pipeline).  "fast" relaxes
+        # ONLY the colormap resample matmul to the MXU's native bf16 passes:
+        # that contraction sums non-negative terms (interp weights x
+        # magnitudes), so bf16 error is provably <= ~0.4% relative with NO
+        # cancellation — comparable to the reference's own F16F16 texture
+        # quantization (gpu_spectrogram.rs:222).  The FFT stages always stay
+        # HIGHEST: their signed near-cancellations (spectral leakage floors
+        # of tonal signals) are destroyed by bf16 — measured mean u8 error
+        # of 45/255 on a chirp when tried.
+        if precision_profile not in ("exact", "fast"):
+            raise ValueError(f"unknown precision_profile {precision_profile!r}")
+        self.precision_profile = precision_profile
+        self.precision_stft = jax.lax.Precision.HIGHEST
+        self.precision_cmap = (
+            jax.lax.Precision.HIGHEST
+            if precision_profile == "exact"
+            else jax.lax.Precision.DEFAULT
+        )
 
     # ------------------------------------------------------------------ state
 
@@ -262,13 +282,14 @@ class SpectrogramPipeline:
         right = jnp.concatenate(rights, axis=0) if k > 1 else rights[0]
         # NOTE row order for k>1 is [r0 streams.., r1 streams..]; remapped below.
         mag_l, mag_r = stft_kernel.stft_mag_fused2(
-            left, right, cfg, slice_bins=False
+            left, right, cfg, slice_bins=False, precision=self.precision_stft
         )  # [S*k, N/2] incl DC
         tabs = self.builtin_tables[state.palette_id]          # [S, R*4]
         if k > 1:
             tabs = jnp.tile(tabs, (k, 1))
         packed = cmap_kernel.colormap_planes_builtin(
-            mag_l, mag_r, tabs, self.resample_t_full, cfg
+            mag_l, mag_r, tabs, self.resample_t_full, cfg,
+            precision=self.precision_cmap,
         )                                                     # [S*k, H]
         if k > 1:
             packed = packed.reshape(k, s, -1).swapaxes(0, 1)  # [S, k, H]

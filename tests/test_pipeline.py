@@ -184,3 +184,22 @@ def test_push_planar_matches_push(rng):
     import pytest
     with pytest.raises(ValueError, match="planar chunk"):
         p.push_planar(p.init_state(1), jnp.zeros((1, p.chunk_size, 2), jnp.float32))
+
+
+def test_precision_profiles():
+    import pytest
+
+    p_fast = SpectrogramPipeline(CFG, chunk_hops=2, precision_profile="fast")
+    p_exact = SpectrogramPipeline(CFG, chunk_hops=2)
+    import jax
+
+    assert p_fast.precision_cmap == jax.lax.Precision.DEFAULT
+    assert p_fast.precision_stft == jax.lax.Precision.HIGHEST  # always exact
+    assert p_exact.precision_cmap == jax.lax.Precision.HIGHEST
+    with pytest.raises(ValueError):
+        SpectrogramPipeline(CFG, precision_profile="turbo")
+    # both run (CPU: DEFAULT == f32, so outputs match exactly here)
+    chunk = jnp.zeros((1, p_fast.chunk_size, 2), jnp.float32)
+    _, a = p_fast.push(p_fast.init_state(1), chunk)
+    _, b = p_exact.push(p_exact.init_state(1), chunk)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
