@@ -109,17 +109,22 @@ def main() -> None:
         drains += 1
 
     stop.set()
-    for blk in feeder.flush():
+    blocks = feeder.flush()
+    for blk in blocks:
         rows_out += blk.shape[0] * blk.shape[1]
-    # a packed row block is [S, k, H] int32; show the wire->pixels view
-    last = unpack_rgba(blk)
     print(
         f"served {rows_out} rows across {s} streams in {args.seconds:.0f}s "
         f"({rows_out / args.seconds:,.0f} rows/s incl. warmup/compile)"
     )
     print(f"hop budget {hop_s*1e3:.2f} ms; drain+dispatch {tracker.summary()}")
     print(f"dropped frames (counted, not silent): {bank.dropped_total}")
-    print(f"last block unpacked: {last.shape} u8, sample px {last[0,0,200].tolist()}")
+    if blocks:
+        # a packed row block is [S, k, H] int32; show the wire->pixels view
+        last = unpack_rgba(blocks[-1])
+        print(
+            f"last block unpacked: {last.shape} u8, "
+            f"sample px {last[0,0,200].tolist()}"
+        )
 
 
 if __name__ == "__main__":

@@ -37,17 +37,21 @@ def _load_library() -> Optional[ctypes.CDLL]:
             return _LIB
         if _BUILD_FAILED:
             return None
-        if not _SO_PATH.exists():
-            try:
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except (OSError, subprocess.SubprocessError):
+        # Always invoke make: its mtime rules make this a cheap no-op when
+        # the .so is up to date, and it guarantees source edits rebuild
+        # (a stale binary would otherwise keep loading silently).
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            if not _SO_PATH.exists():
                 _BUILD_FAILED = True
                 return None
+            # toolchain unavailable but a previously built .so exists: use it
         try:
             lib = ctypes.CDLL(str(_SO_PATH))
         except OSError:

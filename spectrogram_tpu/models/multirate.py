@@ -71,6 +71,14 @@ class StreamGroupManager:
         # streams; leaking slots would exhaust the group at low occupancy).
         if -1 in group.stream_ids:
             slot = group.stream_ids.index(-1)
+            # Zero the slot's device state: the new tenant must not inherit
+            # the dead stream's carry samples or retained viewport rows
+            # (cross-stream data leakage in a multi-tenant service).
+            st = group.state
+            group.state = st._replace(
+                carry=st.carry.at[slot].set(0.0),
+                ring=st.ring.at[slot].set(0) if st.ring.shape[1] else st.ring,
+            )
         elif group.n_streams < self.group_capacity:
             slot = group.n_streams
             group.stream_ids.append(-1)  # placeholder, set below

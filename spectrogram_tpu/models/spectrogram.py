@@ -113,8 +113,23 @@ class SpectrogramPipeline:
         if stft_backend not in ("auto", "mxu", "xla", "pallas"):
             raise ValueError(f"unknown stft_backend {stft_backend!r}")
         self.fft_plan = mxu_fft.make_plan(cfg) if stft_backend != "xla" else None
-        if stft_backend in ("mxu", "pallas") and self.fft_plan is None:
-            raise ValueError(f"no MXU factorization for geometry {cfg}")
+        # The MXU paths used here (stft_planar_windows / the fused kernel)
+        # require an even-n1 plan AND the half-spectrum covering all bins
+        # (pad_factor >= 2) — the same guard stft_rows_split_planar applies.
+        plan_usable = (
+            self.fft_plan is not None
+            and self.fft_plan.n1 % 2 == 0
+            and cfg.pad_factor >= 2
+        )
+        if stft_backend in ("mxu", "pallas") and not plan_usable:
+            raise ValueError(
+                f"stft_backend={stft_backend!r} needs an even-n1 MXU "
+                f"factorization and pad_factor >= 2; geometry {cfg} has "
+                f"plan={self.fft_plan} pad_factor={cfg.pad_factor}. "
+                f"Use stft_backend='xla' or 'auto'."
+            )
+        if not plan_usable:
+            self.fft_plan = None  # all downstream paths fall back to XLA
         if stft_backend == "auto":
             # Fused Pallas chain when on a TPU backend and the geometry
             # factors with even n1 — measured fastest (692k rows/s vs 658k
@@ -122,12 +137,10 @@ class SpectrogramPipeline:
             on_tpu = jax.default_backend() in ("tpu", "axon")
             stft_backend = (
                 "pallas"
-                if on_tpu and self.fft_plan is not None and self.fft_plan.n1 % 2 == 0
-                else "mxu" if self.fft_plan is not None else "xla"
+                if on_tpu and plan_usable
+                else "mxu" if plan_usable else "xla"
             )
         self.fused_chain = stft_backend == "pallas"
-        if self.fused_chain and (self.fft_plan is None or self.fft_plan.n1 % 2):
-            raise ValueError(f"fused chain needs an even-n1 plan for {cfg}")
         self.resample_t_full = jnp.asarray(cmap_ops.resample_matrix_full(cfg).T)
         # Colormap backend: "pallas" = fused kernel (ops/pallas/colormap_kernel,
         # ~2.4x the XLA-composed path on v5e), "xla" = composed jnp ops,

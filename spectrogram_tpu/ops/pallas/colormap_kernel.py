@@ -164,6 +164,11 @@ def colormap_rows_fused(
     stride-2 gather (~1 ms at 4k streams) just to feed the kernel.
     """
     n, _, b = rows.shape
+    if matrix_t.shape[0] != b:
+        raise ValueError(
+            f"rows have {b} bins but resample matrix expects "
+            f"{matrix_t.shape[0]}"
+        )
     h = matrix_t.shape[1]
     res = u_tables.shape[1]
 
@@ -331,6 +336,12 @@ def colormap_planes_builtin(
 ) -> jax.Array:
     """As colormap_rows_builtin but taking separate channel planes."""
     n, b = left.shape
+    if matrix_t.shape[0] != b:
+        raise ValueError(
+            f"rows have {b} bins but resample matrix expects "
+            f"{matrix_t.shape[0]} (a mismatch would silently read only the "
+            f"first {b} matrix rows)"
+        )
     h = matrix_t.shape[1]
     res = color_tables.shape[1] // 4
 

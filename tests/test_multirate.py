@@ -103,6 +103,27 @@ def test_slot_reuse_after_detach():
         mgr.add_stream(CFG_A)            # now genuinely full
 
 
+def test_slot_reuse_zeroes_state(rng):
+    """Advisor finding (r1): a reused slot must not inherit the dead
+    stream's carry samples or viewport rows (cross-tenant leakage)."""
+    mgr = StreamGroupManager(group_capacity=2, chunk_hops=2)
+    s0 = mgr.add_stream(CFG_A)
+    mgr.add_stream(CFG_A)
+    g = next(mgr.groups())
+    chunk = jnp.asarray(
+        rng.standard_normal((2, g.pipeline.chunk_size, 2)).astype(np.float32)
+    )
+    mgr.push_group(CFG_A, chunk)
+    assert float(jnp.abs(g.state.carry[0]).max()) > 0.0
+    mgr.remove_stream(s0)
+    s2 = mgr.add_stream(CFG_A)
+    assert mgr.location(s2)[1] == 0
+    assert float(jnp.abs(g.state.carry[0]).max()) == 0.0
+    assert float(jnp.abs(g.state.ring[0].astype(jnp.float32)).max()) == 0.0
+    # the surviving tenant's state is untouched
+    assert float(jnp.abs(g.state.carry[1]).max()) > 0.0
+
+
 def test_log_scale_ticks_no_duplicates():
     sc = LogScale(20.0, 20000.0, 100, base=10.0)
     ticks = sc.key_points(40)

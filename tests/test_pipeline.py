@@ -203,3 +203,46 @@ def test_precision_profiles():
     _, a = p_fast.push(p_fast.init_state(1), chunk)
     _, b = p_exact.push(p_exact.init_state(1), chunk)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_awkward_geometries_fall_back_cleanly(rng):
+    """Advisor finding (r1): odd-n1 plans (window 225 @ 9 kHz -> n1=15) and
+    pad_factor=1 configs must fall back to the XLA path in push(), matching
+    process(), instead of crashing or silently mis-slicing."""
+    import pytest
+
+    odd = SpectrogramConfig(sample_rate=9000.0, window_period=0.025,
+                            hop_period=0.0125, viewport_height=64,
+                            viewport_rows=16, max_frequency=4000.0)
+    pf1 = SpectrogramConfig(sample_rate=8000.0, window_period=0.032,
+                            hop_period=0.008, pad_factor=1, viewport_height=64,
+                            viewport_rows=16, max_frequency=3600.0)
+    for cfg in (odd, pf1):
+        p = SpectrogramPipeline(cfg, chunk_hops=2)
+        assert p.fft_plan is None and not p.fused_chain  # clean XLA fallback
+        pcm = rng.standard_normal((2, p.chunk_size * 2, 2)).astype(np.float32) * 0.3
+        s = p.init_state(2)
+        emitted = []
+        for i in range(2):
+            s, rgba = p.push(s, jnp.asarray(pcm[:, i * p.chunk_size : (i + 1) * p.chunk_size]))
+            emitted.append(np.asarray(rgba))
+        streamed = np.concatenate(emitted, axis=1)
+        padded = np.concatenate([np.zeros((2, p.carry_size, 2), np.float32), pcm], axis=1)
+        np.testing.assert_array_equal(streamed, np.asarray(p.process(jnp.asarray(padded))))
+        # explicitly requesting the unusable backends is a loud error
+        with pytest.raises(ValueError, match="stft_backend"):
+            SpectrogramPipeline(cfg, stft_backend="mxu")
+        with pytest.raises(ValueError, match="stft_backend"):
+            SpectrogramPipeline(cfg, stft_backend="pallas")
+
+
+def test_colormap_kernel_rejects_bin_mismatch():
+    import pytest
+    from spectrogram_tpu.ops.pallas import colormap_kernel as ck
+
+    p = make_pipeline()
+    tabs = jnp.zeros((2, 32 * 4), jnp.float32)
+    with pytest.raises(ValueError, match="bins"):
+        ck.colormap_planes_builtin(
+            jnp.zeros((2, CFG.num_bins - 3)), jnp.zeros((2, CFG.num_bins - 3)),
+            tabs, p.resample_t, CFG, interpret=True)
