@@ -1,0 +1,116 @@
+"""Op-level decomposition of one push on the real TPU.
+
+Traces a scan of pushes with jax.profiler, parses the trace events, and
+prints per-op device time — the authoritative breakdown (per-call host
+timings are fiction through the relay; see CLAUDE.md).
+
+Usage: python benchmarks/profile_push.py [streams] [precision] [backend]
+Env:   PROFILE_SCAN_LEN (default 20)
+"""
+
+import gzip
+import glob
+import json
+import os
+import pathlib
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def trace_scan(fn, state, chunk, scan_len, log_dir):
+    import jax
+
+    def scan_pushes(state, chunk):
+        def body(s, _):
+            s, rgba = fn(s, chunk)
+            return s, rgba[:, 0, 0]
+
+        return jax.lax.scan(body, state, None, length=scan_len)
+
+    scan_fn = jax.jit(scan_pushes)
+    state2, sums = scan_fn(state, chunk)  # compile outside the trace
+    np.asarray(sums)
+    jax.profiler.start_trace(log_dir)
+    _, sums = scan_fn(state, chunk)
+    np.asarray(sums)
+    jax.profiler.stop_trace()
+
+
+def parse_trace(log_dir, scan_len):
+    paths = glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # Device-lane complete events: pid/tid lanes whose names mention TPU/XLA ops.
+    op_total = defaultdict(float)
+    op_count = defaultdict(int)
+    pid_names = {
+        e.get("pid"): e.get("args", {}).get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "/device" not in pname.lower():
+            continue
+        name = e.get("name", "")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        op_total[name] += dur
+        op_count[name] += 1
+    return op_total, op_count
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogram_tpu.config import BENCH_CONFIG
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    precision = sys.argv[2] if len(sys.argv) > 2 else "fast"
+    backend = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    scan_len = int(os.environ.get("PROFILE_SCAN_LEN", "20"))
+
+    pipeline = SpectrogramPipeline(
+        BENCH_CONFIG,
+        chunk_hops=1,
+        store_ring=False,
+        packed_output=True,
+        precision_profile=precision,
+        stft_backend=backend,
+    )
+    print(
+        f"streams={n_streams} precision={precision} fused={pipeline.fused_chain} "
+        f"banded={pipeline.cmap_segments_full is not None}",
+        flush=True,
+    )
+    rng = np.random.default_rng(0)
+    chunk = jnp.asarray(
+        rng.standard_normal((n_streams, pipeline.chunk_size, 2)).astype(np.float32)
+        * 0.1
+    )
+    state = pipeline.init_state(n_streams)
+    log_dir = f"/tmp/sg_trace_{n_streams}_{precision}"
+    trace_scan(pipeline.push_impl, state, chunk, scan_len, log_dir)
+    op_total, op_count = parse_trace(log_dir, scan_len)
+
+    total = sum(op_total.values())
+    print(f"device total: {total:.2f} ms over {scan_len} pushes "
+          f"= {total/scan_len:.3f} ms/push", flush=True)
+    rows = sorted(op_total.items(), key=lambda kv: -kv[1])
+    for name, ms in rows[:25]:
+        print(f"  {ms/scan_len:8.3f} ms/push  x{op_count[name]//scan_len:<3d} {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -378,6 +378,15 @@ class RingBank16:
         lib.bank16_capacity.argtypes = [ctypes.c_void_p]
         lib.bank16_push.restype = _u64
         lib.bank16_push.argtypes = [ctypes.c_void_p, _u64, _i16p, _u64]
+        lib.bank16_push_matrix_mt.argtypes = [
+            ctypes.c_void_p, _i16p, _u64, _u64p, _u64
+        ]
+        lib.bank16_push_matrix_planar_mt.argtypes = [
+            ctypes.c_void_p, _i16p, _u64, _u64p, _u64
+        ]
+        lib.bank16_push_matrix_range.argtypes = [
+            ctypes.c_void_p, _u64, _u64, _i16p, _u64, _u64p
+        ]
         lib.bank16_pop_matrix_f32.argtypes = [
             ctypes.c_void_p, _f32p, _u64, _u64p, _u64
         ]
@@ -402,6 +411,61 @@ class RingBank16:
             self._handle, _u64(stream),
             frames_i16.ctypes.data_as(_i16p), _u64(len(frames_i16)),
         ))
+
+    def push_matrix(self, frames_i16: np.ndarray) -> np.ndarray:
+        """[S, n, 2] int16 block: n frames to every stream in one native call
+        (per-stream ctypes pushes cost ~5 us each — ruinous at 10k streams).
+        Returns counts[S] = frames accepted per stream (drops are counted)."""
+        frames_i16 = np.ascontiguousarray(frames_i16, dtype=np.int16)
+        if (frames_i16.ndim != 3 or frames_i16.shape[0] != self.n_streams
+                or frames_i16.shape[2] != 2):
+            raise ValueError(
+                f"expected [{self.n_streams}, n, 2] i16, got {frames_i16.shape}"
+            )
+        counts = np.empty((self.n_streams,), np.uint64)
+        self._lib.bank16_push_matrix_mt(
+            self._handle, frames_i16.ctypes.data_as(_i16p),
+            _u64(frames_i16.shape[1]), counts.ctypes.data_as(_u64p),
+            _u64(self.n_threads),
+        )
+        return counts
+
+    def push_matrix_range(self, lo: int, frames_i16: np.ndarray) -> np.ndarray:
+        """[hi-lo, n, 2] int16 block onto streams [lo, lo+len): the batched
+        push for sharded producers (each producer thread owns a stream range
+        — the SPSC contract allows exactly one producer per ring)."""
+        frames_i16 = np.ascontiguousarray(frames_i16, dtype=np.int16)
+        if frames_i16.ndim != 3 or frames_i16.shape[2] != 2:
+            raise ValueError(f"expected [k, n, 2] i16, got {frames_i16.shape}")
+        k = frames_i16.shape[0]
+        if lo < 0 or lo + k > self.n_streams:
+            raise ValueError(
+                f"range [{lo}, {lo + k}) outside [0, {self.n_streams})"
+            )
+        counts = np.empty((k,), np.uint64)
+        self._lib.bank16_push_matrix_range(
+            self._handle, _u64(lo), _u64(lo + k),
+            frames_i16.ctypes.data_as(_i16p), _u64(frames_i16.shape[1]),
+            counts.ctypes.data_as(_u64p),
+        )
+        return counts
+
+    def push_matrix_planar(self, frames_i16: np.ndarray) -> np.ndarray:
+        """[S, 2, n] planar int16 block (decoders emitting planar PCM);
+        channels are interleaved into the rings during the copy."""
+        frames_i16 = np.ascontiguousarray(frames_i16, dtype=np.int16)
+        if (frames_i16.ndim != 3 or frames_i16.shape[0] != self.n_streams
+                or frames_i16.shape[1] != 2):
+            raise ValueError(
+                f"expected [{self.n_streams}, 2, n] i16, got {frames_i16.shape}"
+            )
+        counts = np.empty((self.n_streams,), np.uint64)
+        self._lib.bank16_push_matrix_planar_mt(
+            self._handle, frames_i16.ctypes.data_as(_i16p),
+            _u64(frames_i16.shape[2]), counts.ctypes.data_as(_u64p),
+            _u64(self.n_threads),
+        )
+        return counts
 
     def pop_matrix_f32(self, n: int, out: Optional[np.ndarray] = None):
         """Pop n frames per stream into f32 [S, n, 2] (x/32768 conversion

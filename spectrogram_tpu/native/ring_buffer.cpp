@@ -218,8 +218,8 @@ namespace {
 // 29 ms); 4-8 workers bring it well under.  Templated so every bank variant
 // shares ONE fan-out implementation (keeping three hand-copies in sync was
 // its own bug class).
-template <typename BankT, typename RangeFn>
-void parallel_streams(BankT *b, uint64_t n_threads, RangeFn fn, float *buf,
+template <typename BankT, typename RangeFn, typename BufT>
+void parallel_streams(BankT *b, uint64_t n_threads, RangeFn fn, BufT *buf,
                       uint64_t n, uint64_t *counts) {
   const uint64_t n_streams = b->n_streams;
   if (n_threads <= 1 || n_streams < 2 * n_threads) {
@@ -403,6 +403,46 @@ void pop16_to_f32(Ring16 *r, float *out, uint64_t n, uint64_t *count) {
   if (count) *count = taken;
 }
 
+// Producer-side batched int16 ingest: without it, 10k-stream producers are
+// forced into per-stream ctypes calls (~5 us each — the exact cost
+// bank_push_matrix_mt exists to amortize on the f32 bank).
+void push16_range(RingBank16 *b, uint64_t lo, uint64_t hi,
+                  const int16_t *frames, uint64_t n, uint64_t *counts) {
+  for (uint64_t s = lo; s < hi; ++s) {
+    uint64_t accepted = push16_impl(&b->rings[s], frames + s * n * 2, n);
+    if (counts) counts[s] = accepted;
+  }
+}
+
+// Planar producer variant: frames arrive [S, 2, n] (separate channel runs,
+// e.g. from a decoder that emits planar PCM); interleave during the copy.
+uint64_t push16_planar_impl(Ring16 *r, const int16_t *left,
+                            const int16_t *right, uint64_t n) {
+  const uint64_t head = r->head.load(std::memory_order_relaxed);
+  const uint64_t tail = r->tail.load(std::memory_order_acquire);
+  const uint64_t free_frames = r->capacity - (head - tail);
+  uint64_t accepted = n < free_frames ? n : free_frames;
+  if (accepted < n) {
+    r->dropped.fetch_add(n - accepted, std::memory_order_relaxed);
+  }
+  for (uint64_t i = 0; i < accepted; ++i) {
+    uint64_t idx = (head + i) & r->mask;
+    r->data[2 * idx] = left[i];
+    r->data[2 * idx + 1] = right[i];
+  }
+  r->head.store(head + accepted, std::memory_order_release);
+  return accepted;
+}
+
+void push16_range_planar(RingBank16 *b, uint64_t lo, uint64_t hi,
+                         const int16_t *frames, uint64_t n, uint64_t *counts) {
+  for (uint64_t s = lo; s < hi; ++s) {
+    const int16_t *left = frames + s * 2 * n;
+    uint64_t accepted = push16_planar_impl(&b->rings[s], left, left + n, n);
+    if (counts) counts[s] = accepted;
+  }
+}
+
 void pop16_range(RingBank16 *b, uint64_t lo, uint64_t hi, float *out,
                  uint64_t n, uint64_t *counts) {
   for (uint64_t s = lo; s < hi; ++s) {
@@ -475,6 +515,35 @@ uint64_t bank16_push(RingBank16 *b, uint64_t stream, const int16_t *frames,
                      uint64_t n) {
   if (stream >= b->n_streams) return 0;
   return push16_impl(&b->rings[stream], frames, n);
+}
+
+// Push one [S, n, 2] interleaved int16 block to every stream; per-stream
+// accepted counts (for overflow accounting) go to counts[S] when non-null.
+void bank16_push_matrix_mt(RingBank16 *b, const int16_t *frames, uint64_t n,
+                           uint64_t *counts, uint64_t n_threads) {
+  parallel_streams(b, n_threads, push16_range, frames, n, counts);
+}
+
+// Planar producer: frames [S, 2, n] int16, interleaved into the rings.
+void bank16_push_matrix_planar_mt(RingBank16 *b, const int16_t *frames,
+                                  uint64_t n, uint64_t *counts,
+                                  uint64_t n_threads) {
+  parallel_streams(b, n_threads, push16_range_planar, frames, n, counts);
+}
+
+// Sub-range batched push for sharded producers: frames [hi-lo, n, 2] lands
+// on streams [lo, hi).  Single-threaded inside the call — the producer
+// thread IS the parallelism, and each ring keeps exactly one producer
+// (the SPSC contract).
+void bank16_push_matrix_range(RingBank16 *b, uint64_t lo, uint64_t hi,
+                              const int16_t *frames, uint64_t n,
+                              uint64_t *counts) {
+  if (hi > b->n_streams) hi = b->n_streams;
+  for (uint64_t s = lo; s < hi; ++s) {
+    uint64_t accepted =
+        push16_impl(&b->rings[s], frames + (s - lo) * n * 2, n);
+    if (counts) counts[s - lo] = accepted;
+  }
 }
 
 void bank16_pop_matrix_f32(RingBank16 *b, float *out, uint64_t n,

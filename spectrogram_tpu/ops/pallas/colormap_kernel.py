@@ -391,6 +391,154 @@ def colormap_planes_builtin(
     return out[:n, :h]
 
 
+def band_segments(
+    matrix_t: "np.ndarray",   # [B, H] numpy resample matrix (transposed)
+    tile_px: int = 128,
+    lane: int = 128,
+) -> tuple[tuple[int, int, int, int], ...]:
+    """Static banding plan for the resample contraction.
+
+    The log-frequency resample matrix is two-tap (<=2 nonzero bins per pixel
+    column) with monotone tap positions — the matmul form of the reference
+    shader's bilinear fetch (gpu_spectrogram.rs:158-174).  Each `tile_px`-wide
+    pixel tile therefore touches one contiguous bin band; at the default
+    geometry the bands sum to ~17% of the dense [B, H] product.
+
+    Returns ((px_lo, px_hi, bin_lo, bin_hi), ...) segments: per pixel tile,
+    the lane-aligned band of bins with any nonzero weight; adjacent tiles are
+    merged greedily whenever merging does not increase total band*pixels work
+    (fewer kernel launches at equal FLOPs).
+    """
+    b, h = matrix_t.shape
+    nz_any = matrix_t != 0.0
+    tiles = []
+    for p0 in range(0, h, tile_px):
+        p1 = min(p0 + tile_px, h)
+        nz = np.nonzero(nz_any[:, p0:p1].any(axis=1))[0]
+        if nz.size == 0:
+            lo, hi = 0, min(lane, b)
+        else:
+            lo = int(nz.min()) // lane * lane
+            hi = min(-(-int(nz.max() + 1) // lane) * lane, b)
+        tiles.append((p0, p1, lo, hi))
+    segs = [tiles[0]]
+    for p0, p1, lo, hi in tiles[1:]:
+        sp0, sp1, slo, shi = segs[-1]
+        mlo, mhi = min(slo, lo), max(shi, hi)
+        merged = (mhi - mlo) * (p1 - sp0)
+        split = (shi - slo) * (sp1 - sp0) + (hi - lo) * (p1 - p0)
+        if merged <= split:
+            segs[-1] = (sp0, p1, mlo, mhi)
+        else:
+            segs.append((p0, p1, lo, hi))
+    return tuple(segs)
+
+
+def _banded_worthwhile(segments, b: int, h: int, threshold: float = 0.75) -> bool:
+    """True when the banding plan saves enough work to justify multiple
+    kernel launches (sum of band*pixels < threshold * dense B*H)."""
+    banded = sum((hi - lo) * (p1 - p0) for p0, p1, lo, hi in segments)
+    return banded < threshold * b * h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "segments", "block_rows", "block_cols", "precision", "interpret"
+    ),
+)
+def colormap_planes_banded(
+    left: jax.Array,        # [N, B] f32 left magnitude plane
+    right: jax.Array,       # [N, B] f32 right magnitude plane
+    color_tables: jax.Array,
+    matrix_t: jax.Array,    # [B, H] f32 full resample matrix (transposed)
+    cfg: SpectrogramConfig,
+    segments: tuple[tuple[int, int, int, int], ...],
+    block_rows: int | None = None,
+    block_cols: int | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jax.Array:
+    """Banded colormap: one kernel launch per `band_segments` segment, each
+    contracting only the bin band its pixel columns actually read.
+
+    The magnitude planes are never sliced in HBM: per segment the kernel's
+    row-plane BlockSpecs use element-offset indexing (`pl.Element`) to DMA
+    the [ts, band] window straight out of the full plane.  Output is bitwise
+    identical to `colormap_planes_builtin` — the skipped matrix entries are
+    exact zeros, so the remaining partial sums are unchanged.
+    """
+    n, b = left.shape
+    if matrix_t.shape[0] != b:
+        raise ValueError(
+            f"rows have {b} bins but resample matrix expects {matrix_t.shape[0]}"
+        )
+    h = matrix_t.shape[1]
+    res = color_tables.shape[1] // 4
+    if segments[-1][1] != h or segments[0][0] != 0:
+        raise ValueError(f"segments {segments} do not tile H={h}")
+
+    max_band = max(hi - lo for _, _, lo, hi in segments)
+    block_rows, block_cols = _auto_blocks(max_band, block_rows, block_cols)
+    ts = min(block_rows, n) if n % block_rows else block_rows
+    if n % ts:
+        pad = ts - n % ts
+        left = jnp.pad(left, ((0, pad), (0, 0)))
+        right = jnp.pad(right, ((0, pad), (0, 0)))
+        color_tables = jnp.pad(color_tables, ((0, pad), (0, 0)))
+    n_pad = left.shape[0]
+    th = block_cols
+
+    outs = []
+    for p0, p1, lo, hi in segments:
+        band = hi - lo
+        mat_seg = matrix_t[lo:hi, p0:p1]  # constant fold (matrix is static)
+        h_seg = p1 - p0
+        if h_seg % th:
+            mat_seg = jnp.pad(mat_seg, ((0, 0), (0, th - h_seg % th)))
+        h_pad = mat_seg.shape[1]
+        kernel = functools.partial(
+            _builtin_kernel,
+            min_db=cfg.min_db,
+            max_db=cfg.max_db,
+            db_eps=cfg.db_epsilon,
+            res=res,
+            precision=precision,
+            subtile=_subtile_for(th),
+        )
+        plane_spec = pl.BlockSpec(
+            (pl.Element(ts), pl.Element(band)),
+            lambda i, j, lo=lo: (i * ts, lo),
+            memory_space=pltpu.VMEM,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_pad // ts, h_pad // th),
+            in_specs=[
+                plane_spec,
+                plane_spec,
+                pl.BlockSpec((band, th), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ts, res * 4), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ts, th), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_pad, h_pad), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * n_pad * band * h_pad + 6 * res * n_pad * h_pad,
+                bytes_accessed=(
+                    2 * n_pad * band * 4 + band * h_pad * 4 + 4 * n_pad * h_pad
+                ),
+                transcendentals=n_pad * h_pad,
+            ),
+            interpret=interpret,
+        )(left, right, mat_seg, color_tables)
+        outs.append(out[:, :h_seg])
+    return jnp.concatenate(outs, axis=1)[:n]
+
+
 def builtin_color_tables(resolution: int = 32) -> "np.ndarray":
     """[P, R*4] per-palette tables for colormap_rows_builtin: cols t*4+c hold
     the rgb table (mono: mag-axis gradient, stereo: reversed pan-axis

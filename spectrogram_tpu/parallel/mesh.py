@@ -74,6 +74,20 @@ def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
     return jax.device_put(state, state_shardings(mesh))
 
 
+def sharded_init(
+    pipeline: SpectrogramPipeline, n_streams: int, mesh: Mesh, palette_id: int = 1
+) -> StreamState:
+    """Create the initial state directly ON the mesh (no host round-trip).
+
+    Works in multi-process deployments where `device_put` of a host array
+    cannot span non-addressable devices: the zeros materialize sharded,
+    straight out of the compiled init."""
+    return jax.jit(
+        functools.partial(pipeline.init_state, n_streams, palette_id=palette_id),
+        out_shardings=state_shardings(mesh),
+    )()
+
+
 def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh):
     """jit-compiled push with stream-axis sharding constraints.
 
@@ -119,6 +133,10 @@ def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh):
         mesh=mesh,
         in_specs=(state_specs, P(STREAM_AXIS, None, None)),
         out_specs=(state_specs, rgba_spec, P()),
+        # Pallas calls inside the body produce ShapeDtypeStructs without
+        # varying-mesh-axes annotations; the out_specs above already pin the
+        # sharding contract, so skip the redundant VMA check.
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=0)
 

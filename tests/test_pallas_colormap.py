@@ -151,3 +151,45 @@ def test_auto_block_tiers(rng):
     out = ck.unpack_rgba(packed)
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert diff.max() <= 1
+
+
+def test_banded_matches_dense_bitwise(rng):
+    """Banded colormap (band_segments over the two-tap resample matrix) must
+    be BITWISE identical to the dense kernel: the skipped entries are exact
+    zeros, so every pixel's surviving partial sums are unchanged."""
+    big = SpectrogramConfig(
+        sample_rate=48000.0, window_period=2048 / 48000.0, viewport_height=512
+    )
+    mt_np = cm.resample_matrix_full(big).T
+    segs = ck.band_segments(mt_np)
+    assert len(segs) > 1                     # plan actually splits
+    assert segs[0][0] == 0 and segs[-1][1] == mt_np.shape[1]
+    banded_work = sum((hi - lo) * (p1 - p0) for p0, p1, lo, hi in segs)
+    assert banded_work < 0.5 * mt_np.shape[0] * mt_np.shape[1]
+    n, b = 96, mt_np.shape[0]               # n not a multiple of block_rows
+    left = jnp.asarray(np.abs(rng.standard_normal((n, b))).astype(np.float32) * 0.01)
+    right = jnp.asarray(np.abs(rng.standard_normal((n, b))).astype(np.float32) * 0.01)
+    tabs = jnp.asarray(ck.builtin_color_tables(32))[rng.integers(0, 19, n)]
+    mt = jnp.asarray(mt_np)
+    dense = np.asarray(ck.colormap_planes_builtin(left, right, tabs, mt, big,
+                                                  interpret=True))
+    band = np.asarray(ck.colormap_planes_banded(left, right, tabs, mt, big,
+                                                segs, interpret=True))
+    np.testing.assert_array_equal(dense, band)
+
+
+def test_banded_plan_rejects_bad_inputs():
+    big = SpectrogramConfig(
+        sample_rate=48000.0, window_period=2048 / 48000.0, viewport_height=512
+    )
+    mt = jnp.asarray(cm.resample_matrix_full(big).T)
+    segs = ck.band_segments(np.asarray(mt))
+    tabs = jnp.zeros((4, 128), jnp.float32)
+    with pytest.raises(ValueError, match="bins"):
+        ck.colormap_planes_banded(
+            jnp.zeros((4, 100)), jnp.zeros((4, 100)), tabs, mt, big, segs,
+            interpret=True)
+    with pytest.raises(ValueError, match="tile"):
+        ck.colormap_planes_banded(
+            jnp.zeros((4, mt.shape[0])), jnp.zeros((4, mt.shape[0])), tabs,
+            mt, big, segs[:-1], interpret=True)

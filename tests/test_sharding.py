@@ -101,3 +101,35 @@ def test_sharded_push_packed_output(pipeline, rng):
     s2 = pmesh.shard_state(p.init_state(8), m)
     s2, packed2, rows = step2(s2, chunk)
     assert packed2.shape == packed.shape and int(rows) == 8 * p.chunk_hops
+
+
+def test_fused_pallas_chain_under_shard_map(rng):
+    """VERDICT r1 weak-3: the production (fused Pallas) backend must run
+    under shard_map — interpret mode on the CPU mesh — and match the
+    unsharded fused push exactly (catches _push_fused-specific layout or
+    k>1 remap bugs interacting with stream sharding)."""
+    fused = SpectrogramPipeline(
+        CFG, chunk_hops=4, packed_output=True,
+        stft_backend="pallas", colormap_backend="pallas",
+        kernel_interpret=True,
+    )
+    m = pmesh.make_mesh()
+    n_streams = 16
+    pcm = rng.standard_normal(
+        (n_streams, fused.chunk_size, 2)
+    ).astype(np.float32) * 0.3
+
+    s0 = fused.init_state(n_streams)
+    s0, ref = jax.jit(fused.push_impl)(s0, jnp.asarray(pcm))
+
+    step = pmesh.shard_map_step(fused, m)
+    st = pmesh.sharded_init(fused, n_streams, m)
+    chunk = jax.device_put(jnp.asarray(pcm), pmesh.chunk_sharding(m))
+    st, packed, global_rows = step(st, chunk)
+    assert int(global_rows) == n_streams * 4
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(ref))
+    # ring contents survived the sharded update identically
+    np.testing.assert_array_equal(
+        np.asarray(st.ring.astype(jnp.float32)),
+        np.asarray(s0.ring.astype(jnp.float32)),
+    )
