@@ -40,7 +40,9 @@ def main() -> None:
 
     n_streams = int(os.environ.get("BENCH_STREAMS", "4096"))
     chunk_hops = int(os.environ.get("BENCH_CHUNK_HOPS", "1"))
-    scan_len = int(os.environ.get("BENCH_SCAN_LEN", "50"))
+    # 150 scan iterations amortize the relay's ~45 ms/dispatch overhead to
+    # ~0.3 ms/push (at 50 it was ~0.9 ms/push — a 10% understatement).
+    scan_len = int(os.environ.get("BENCH_SCAN_LEN", "150"))
     trials = int(os.environ.get("BENCH_TRIALS", "5"))
 
     cfg = BENCH_CONFIG
@@ -57,6 +59,10 @@ def main() -> None:
         # par with the reference's F16F16 texture); the FFT always runs
         # true-f32.  BENCH_PRECISION=exact for all-f32.
         precision_profile=os.environ.get("BENCH_PRECISION", "fast"),
+        # BENCH_AUTOTUNE=1: resolve the FFT factorization + kernel block size
+        # from the runtime tuner cache (utils/autotune.py) instead of the
+        # static cost model.
+        autotune=os.environ.get("BENCH_AUTOTUNE", "0") == "1",
     )
 
     rng = np.random.default_rng(0)

@@ -116,14 +116,70 @@ def cmd_live(args) -> int:
     tracker = LatencyTracker()
     total_rows = 0
     t_end = time.time() + args.seconds
-    while time.time() < t_end:
-        batch.tick(pipeline.chunk_size)
-        while batch.ready_chunks(pipeline.chunk_size) > 0:
-            chunk, _ = batch.pop_chunk(pipeline.chunk_size)
-            with tracker.measure():
-                state, rgba = pipeline.push(state, jnp.asarray(chunk))
-                np.asarray(rgba[0, 0, 0])
-            total_rows += args.streams * pipeline.chunk_hops
+
+    if args.view:
+        from spectrogram_tpu.color.colorscheme import DEFAULT_COLOR_SCHEMES
+        from spectrogram_tpu.utils.terminal import TerminalViewer
+
+        source_kinds = ["chirp", "sine", "noise"]
+        src_i = source_kinds.index(args.source) if args.source in source_kinds else 0
+
+        def attach(kind):
+            batch.attach_all(
+                lambda s: sources.ChirpSource(rate, f0=100.0 * (1 + s % 4))
+                if kind == "chirp"
+                else sources.SineSource(rate, 220.0 * (1 + s % 8), 330.0)
+                if kind == "sine"
+                else sources.NoiseSource()
+            )
+
+        frame_period = 1.0 / args.fps
+        with TerminalViewer() as tv:
+            next_frame = time.time()
+            while time.time() < t_end:
+                batch.tick(pipeline.chunk_size)
+                while batch.ready_chunks(pipeline.chunk_size) > 0:
+                    chunk, _ = batch.pop_chunk(pipeline.chunk_size)
+                    with tracker.measure():
+                        state, rgba = pipeline.push(state, jnp.asarray(chunk))
+                        np.asarray(rgba[0, 0, 0])
+                    total_rows += args.streams * pipeline.chunk_hops
+                for key in tv.keys():
+                    if key in ("q", "\x03"):
+                        t_end = 0.0
+                    elif key in ("p", "P"):  # palette cycle: pure state update
+                        step = 1 if key == "p" else -1
+                        pid = (pid + step) % len(DEFAULT_COLOR_SCHEMES)
+                        state = pipeline.set_palette(state, pid)
+                    elif key == "s":  # source cycle mid-run
+                        src_i = (src_i + 1) % len(source_kinds)
+                        attach(source_kinds[src_i])
+                if time.time() >= next_frame:
+                    # stream 0's scrolling viewport, frequency axis vertical
+                    vp = pipeline.render_viewport(state)[0]       # [R, H, 4]
+                    rgb = np.asarray(
+                        pipeline.composite(vp[None], state.palette_id[:1])
+                    )[0]
+                    img = rgb.transpose(1, 0, 2)[::-1]            # [H, R, 3]
+                    tv.draw(
+                        img,
+                        status=(
+                            f"palette {DEFAULT_COLOR_SCHEMES[pid].name}  "
+                            f"source {source_kinds[src_i]}  "
+                            f"{total_rows} rows  p/P palette  s source  q quit"
+                        ),
+                    )
+                    next_frame = time.time() + frame_period
+                time.sleep(0.001)
+    else:
+        while time.time() < t_end:
+            batch.tick(pipeline.chunk_size)
+            while batch.ready_chunks(pipeline.chunk_size) > 0:
+                chunk, _ = batch.pop_chunk(pipeline.chunk_size)
+                with tracker.measure():
+                    state, rgba = pipeline.push(state, jnp.asarray(chunk))
+                    np.asarray(rgba[0, 0, 0])
+                total_rows += args.streams * pipeline.chunk_hops
     viewport = np.asarray(pipeline.render_viewport(state))[0]
     rgb = np.asarray(pipeline.composite(viewport[None][None], state.palette_id[:1]))
     save_png(args.output, np.asarray(rgb)[0, 0])
@@ -191,10 +247,17 @@ def main(argv=None) -> int:
 
     p_live = sub.add_parser("live", help="run the streaming pipeline")
     p_live.add_argument("output")
-    p_live.add_argument("--source", default="chirp", choices=["chirp", "sine"])
+    p_live.add_argument(
+        "--source", default="chirp", choices=["chirp", "sine", "noise"]
+    )
     p_live.add_argument("--seconds", type=float, default=2.0)
     p_live.add_argument("--streams", type=int, default=4)
     p_live.add_argument("--chunk-hops", type=int, default=8, dest="chunk_hops")
+    p_live.add_argument(
+        "--view", action="store_true",
+        help="live ANSI terminal viewer (p/P palette, s source, q quit)",
+    )
+    p_live.add_argument("--fps", type=float, default=20.0)
     common(p_live)
     p_live.set_defaults(fn=cmd_live)
 

@@ -395,6 +395,9 @@ class RingBank16:
         ]
         lib.bank16_min_size.restype = _u64
         lib.bank16_min_size.argtypes = [ctypes.c_void_p]
+        lib.bank16_reset.argtypes = [ctypes.c_void_p, _u64]
+        lib.bank16_size.restype = _u64
+        lib.bank16_size.argtypes = [ctypes.c_void_p, _u64]
         lib.bank16_dropped_total.restype = _u64
         lib.bank16_dropped_total.argtypes = [ctypes.c_void_p]
 
@@ -490,6 +493,14 @@ class RingBank16:
 
     def min_size(self) -> int:
         return int(self._lib.bank16_min_size(self._handle))
+
+    def size(self, stream: int) -> int:
+        return int(self._lib.bank16_size(self._handle, _u64(stream)))
+
+    def reset(self, stream: int) -> None:
+        """Discard everything buffered for one stream (slot reuse: the new
+        tenant must not consume the previous tenant's backlog)."""
+        self._lib.bank16_reset(self._handle, _u64(stream))
 
     @property
     def dropped_total(self) -> int:

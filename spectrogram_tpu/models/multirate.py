@@ -27,16 +27,26 @@ from spectrogram_tpu.models.spectrogram import SpectrogramPipeline, StreamState
 @dataclasses.dataclass
 class StreamGroup:
     """One geometry bucket: a pipeline + its lockstep state + the global ids
-    of its member streams."""
+    of its member streams.  With ingest attached (serve_* members non-None)
+    the live state is owned by the feeder; `state` stays a synced snapshot."""
 
     cfg: SpectrogramConfig
     pipeline: SpectrogramPipeline
     state: StreamState
     stream_ids: list[int]
+    bank: object = None          # io.ring.RingBank16 (ingest mode)
+    feeder: object = None        # io.feeder.DeviceFeeder (ingest mode)
+    pinned: object = None        # reusable planar drain buffer
+    next_due: float = 0.0        # next hop-tick deadline (group clock)
 
     @property
     def n_streams(self) -> int:
         return len(self.stream_ids)
+
+    @property
+    def chunk_period(self) -> float:
+        """Seconds of audio consumed per push (the group's cadence)."""
+        return self.pipeline.chunk_size / self.cfg.sample_rate
 
 
 class StreamGroupManager:
@@ -49,9 +59,24 @@ class StreamGroupManager:
     keeps rendering when the input pauses).
     """
 
-    def __init__(self, group_capacity: int = 256, **pipeline_kwargs):
+    def __init__(
+        self,
+        group_capacity: int = 256,
+        ingest: bool = False,
+        ring_capacity: int = 16384,
+        feeder_depth: int = 2,
+        **pipeline_kwargs,
+    ):
         self.group_capacity = int(group_capacity)
         self.pipeline_kwargs = dict(pipeline_kwargs)
+        # ingest=True wires each geometry group to its own host RingBank16 +
+        # DeviceFeeder: producers push int16 PCM by stream id, and `tick`
+        # advances every group at ITS OWN hop cadence (the "ragged time"
+        # resolution of SURVEY §7; the reference analog is one AudioTransform
+        # consuming its ring per stride, audio_transform.rs:34-42).
+        self.ingest = bool(ingest)
+        self.ring_capacity = int(ring_capacity)
+        self.feeder_depth = int(feeder_depth)
         self._groups: dict[SpectrogramConfig, StreamGroup] = {}
         self._locations: dict[int, tuple[SpectrogramConfig, int]] = {}
         self._next_id = 0
@@ -66,6 +91,19 @@ class StreamGroupManager:
             pipeline = SpectrogramPipeline(cfg, **self.pipeline_kwargs)
             state = pipeline.init_state(self.group_capacity, palette_id=palette_id)
             group = StreamGroup(cfg, pipeline, state, [])
+            if self.ingest:
+                import numpy as np_
+
+                from spectrogram_tpu.io.feeder import DeviceFeeder
+                from spectrogram_tpu.io.ring import RingBank16
+
+                group.bank = RingBank16(self.group_capacity, self.ring_capacity)
+                group.feeder = DeviceFeeder(
+                    pipeline, state, depth=self.feeder_depth, planar=True
+                )
+                group.pinned = np_.empty(
+                    (self.group_capacity, 2, pipeline.chunk_size), np_.float32
+                )
             self._groups[cfg] = group
         # Reuse a tombstoned slot before growing (long-running services churn
         # streams; leaking slots would exhaust the group at low occupancy).
@@ -74,11 +112,13 @@ class StreamGroupManager:
             # Zero the slot's device state: the new tenant must not inherit
             # the dead stream's carry samples or retained viewport rows
             # (cross-stream data leakage in a multi-tenant service).
-            st = group.state
-            group.state = st._replace(
+            st = self._state(group)
+            self._set_state(group, st._replace(
                 carry=st.carry.at[slot].set(0.0),
                 ring=st.ring.at[slot].set(0) if st.ring.shape[1] else st.ring,
-            )
+            ))
+            if group.bank is not None:
+                group.bank.reset(slot)  # drop the dead tenant's backlog too
         elif group.n_streams < self.group_capacity:
             slot = group.n_streams
             group.stream_ids.append(-1)  # placeholder, set below
@@ -91,9 +131,21 @@ class StreamGroupManager:
         self._next_id += 1
         group.stream_ids[slot] = stream_id
         self._locations[stream_id] = (cfg, slot)
-        pid = group.state.palette_id.at[slot].set(palette_id)
-        group.state = group.state._replace(palette_id=pid)
+        st = self._state(group)
+        self._set_state(
+            group, st._replace(palette_id=st.palette_id.at[slot].set(palette_id))
+        )
         return stream_id
+
+    # The live state is owned by the feeder once ingest is attached; these
+    # keep `group.state` a coherent snapshot either way.
+    def _state(self, group: StreamGroup) -> StreamState:
+        return group.feeder.state if group.feeder is not None else group.state
+
+    def _set_state(self, group: StreamGroup, st: StreamState) -> None:
+        if group.feeder is not None:
+            group.feeder.state = st
+        group.state = st
 
     def remove_stream(self, stream_id: int) -> None:
         """Detach: the slot keeps computing silence until reused (no
@@ -111,28 +163,89 @@ class StreamGroupManager:
         return iter(self._groups.values())
 
     def push_group(self, cfg: SpectrogramConfig, chunk) -> "np.ndarray":
-        """Advance one geometry group by one chunk.
+        """Advance one geometry group by one chunk (direct mode).
 
         chunk: [capacity, chunk_size, 2] — the host ring bank for this group
         supplies silence for unattached slots (RingBank.pop_matrix zero-fill).
         Returns the group's RGBA rows.
         """
         group = self._groups[cfg]
-        group.state, rgba = group.pipeline.push(group.state, chunk)
+        st, rgba = group.pipeline.push(self._state(group), chunk)
+        self._set_state(group, st)
         return rgba
 
     def set_palette(self, stream_id: int, palette_id: int) -> None:
         cfg, slot = self._locations[stream_id]
         group = self._groups[cfg]
-        pid = group.state.palette_id.at[slot].set(palette_id)
-        group.state = group.state._replace(palette_id=pid)
+        st = self._state(group)
+        self._set_state(
+            group, st._replace(palette_id=st.palette_id.at[slot].set(palette_id))
+        )
+
+    # -- ingest mode ------------------------------------------------------------
+
+    def push_pcm(self, stream_id: int, frames_i16) -> int:
+        """Producer edge: int16 PCM frames [n, 2] for one stream, into its
+        group's host ring (SPSC per slot; counted drops on overrun)."""
+        if not self.ingest:
+            raise RuntimeError("manager created without ingest=True")
+        cfg, slot = self._locations[stream_id]
+        return self._groups[cfg].bank.push(slot, frames_i16)
+
+    def tick(self, now: float) -> dict:
+        """Advance every group whose hop deadline has passed — each geometry
+        at its own cadence.  Underrun slots get zero-fill (silence rows, like
+        the reference widget on a paused input); overruns were already
+        counted at push_pcm time.
+
+        Returns {cfg: completed RGBA block} for pushes the async feeder
+        finished this tick (depth-pipelined: a block completes one tick
+        late at depth 2).
+        """
+        if not self.ingest:
+            raise RuntimeError("manager created without ingest=True")
+        out = {}
+        for cfg, group in self._groups.items():
+            if group.next_due == 0.0:
+                group.next_due = now
+            if now < group.next_due:
+                continue
+            chunk, _counts = group.bank.pop_matrix_f32_planar(
+                group.pipeline.chunk_size, group.pinned
+            )
+            done = group.feeder.push(chunk)
+            group.state = group.feeder.state
+            group.next_due += group.chunk_period
+            if now - group.next_due > 2 * group.chunk_period:
+                group.next_due = now + group.chunk_period  # fell behind: snap
+            if done is not None:
+                out[cfg] = done
+        return out
+
+    def flush(self) -> dict:
+        """Force all in-flight pushes (shutdown / checkpoint point)."""
+        out = {}
+        for cfg, group in self._groups.items():
+            if group.feeder is not None:
+                blocks = group.feeder.flush()
+                group.state = group.feeder.state
+                if blocks:
+                    out[cfg] = blocks
+        return out
 
     def metrics(self) -> dict:
-        return {
+        m = {
             "groups": len(self._groups),
             "streams": len(self._locations),
             "rows_produced": {
-                f"{cfg.sample_rate:.0f}Hz/w{cfg.window_size}": int(g.state.row_count)
+                f"{cfg.sample_rate:.0f}Hz/w{cfg.window_size}":
+                    int(self._state(g).row_count)
                 for cfg, g in self._groups.items()
             },
         }
+        if self.ingest:
+            m["dropped"] = {
+                f"{cfg.sample_rate:.0f}Hz/w{cfg.window_size}": g.bank.dropped_total
+                for cfg, g in self._groups.items()
+            }
+        return m

@@ -87,6 +87,7 @@ class SpectrogramPipeline:
         packed_output: bool = False,
         precision_profile: str = "exact",
         kernel_interpret: bool = False,
+        autotune: bool = False,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -131,6 +132,18 @@ class SpectrogramPipeline:
             )
         if not plan_usable:
             self.fft_plan = None  # all downstream paths fall back to XLA
+        # Pallas stream-block size for the fused STFT kernel (autotunable).
+        self.stft_block_rows = 32
+        if autotune and plan_usable:
+            # FFTW MEASURE analog: measure the even-n1 factorizations + block
+            # sizes on this device, cached per (device kind, geometry) —
+            # see utils/autotune.py.  Static model stays the no-tune default.
+            from spectrogram_tpu.utils import autotune as autotune_mod
+
+            tuned_plan, tuned_ts = autotune_mod.tune(cfg)
+            if tuned_plan is not None:
+                self.fft_plan = tuned_plan
+                self.stft_block_rows = tuned_ts
         if stft_backend == "auto":
             # Fused Pallas chain when on a TPU backend and the geometry
             # factors with even n1 — measured fastest (692k rows/s vs 658k
@@ -308,16 +321,30 @@ class SpectrogramPipeline:
         k = self.chunk_hops
         s = buf.shape[0]
         w, h = cfg.window_size, cfg.hop_size
-        # window planes [S*k, W] per channel (static slice framing)
-        lefts = [buf[:, 0, r * h : r * h + w] for r in range(k)]
-        rights = [buf[:, 1, r * h : r * h + w] for r in range(k)]
-        left = jnp.concatenate(lefts, axis=0) if k > 1 else lefts[0]
-        right = jnp.concatenate(rights, axis=0) if k > 1 else rights[0]
-        # NOTE row order for k>1 is [r0 streams.., r1 streams..]; remapped below.
-        mag_l, mag_r = stft_kernel.stft_mag_fused2(
-            left, right, cfg, slice_bins=False, precision=self.precision_stft,
-            interpret=self.kernel_interpret,
-        )  # [S*k, N/2] incl DC
+        if k > 1 and stft_kernel.buf_framing_supported(cfg, k, self.fft_plan):
+            # Zero-copy framing: the kernel DMAs each hop-shifted window out
+            # of the planar buffer via element-offset BlockSpecs — avoids
+            # materializing k overlapping [S, W] window planes (measured a
+            # wash at k=1, a clear win at k>1 where the copies multiply).
+            mag_l, mag_r = stft_kernel.stft_mag_fused2_buf(
+                buf, cfg, k=k, precision=self.precision_stft,
+                interpret=self.kernel_interpret, plan=self.fft_plan,
+                block_rows=self.stft_block_rows,
+            )  # [S*k, N/2] incl DC, window r of stream s at row r*S + s
+        else:
+            # window planes [S*k, W] per channel (static slice framing; XLA
+            # fuses the concat+slice into one copy per plane)
+            lefts = [buf[:, 0, r * h : r * h + w] for r in range(k)]
+            rights = [buf[:, 1, r * h : r * h + w] for r in range(k)]
+            left = jnp.concatenate(lefts, axis=0) if k > 1 else lefts[0]
+            right = jnp.concatenate(rights, axis=0) if k > 1 else rights[0]
+            # NOTE row order for k>1 is [r0 streams.., r1 streams..]; remapped below.
+            mag_l, mag_r = stft_kernel.stft_mag_fused2(
+                left, right, cfg, slice_bins=False,
+                precision=self.precision_stft,
+                interpret=self.kernel_interpret, plan=self.fft_plan,
+                block_rows=self.stft_block_rows,
+            )  # [S*k, N/2] incl DC
         tabs = self.builtin_tables[state.palette_id]          # [S, R*4]
         if k > 1:
             tabs = jnp.tile(tabs, (k, 1))

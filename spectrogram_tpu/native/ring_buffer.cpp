@@ -556,6 +556,23 @@ void bank16_pop_matrix_f32_planar(RingBank16 *b, float *out, uint64_t n,
   parallel_streams(b, n_threads, pop16_range_planar, out, n, counts);
 }
 
+// Consumer-side discard of everything buffered for one stream (slot reuse:
+// a new tenant must not consume the previous tenant's backlog).  The drop
+// counter is left untouched — discarded-on-detach is not an overrun.
+void bank16_reset(RingBank16 *b, uint64_t stream) {
+  if (stream >= b->n_streams) return;
+  Ring16 *r = &b->rings[stream];
+  const uint64_t head = r->head.load(std::memory_order_acquire);
+  r->tail.store(head, std::memory_order_release);
+}
+
+uint64_t bank16_size(const RingBank16 *b, uint64_t stream) {
+  if (stream >= b->n_streams) return 0;
+  const uint64_t tail = b->rings[stream].tail.load(std::memory_order_acquire);
+  const uint64_t head = b->rings[stream].head.load(std::memory_order_acquire);
+  return head >= tail ? head - tail : 0;
+}
+
 uint64_t bank16_min_size(const RingBank16 *b) {
   uint64_t m = UINT64_MAX;
   for (uint64_t s = 0; s < b->n_streams; ++s) {

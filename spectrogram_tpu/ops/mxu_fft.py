@@ -85,6 +85,27 @@ def make_plan(cfg: SpectrogramConfig) -> FftPlan | None:
     return FftPlan(n=cfg.padded_size, n1=n1, n2=n2, m=cfg.window_size // n1)
 
 
+def candidate_plans(cfg: SpectrogramConfig, top: int = 4) -> list[FftPlan]:
+    """Even-n1 factorizations ranked by the static MAC model — the candidate
+    set the runtime autotuner (utils/autotune.py) measures.  The static model
+    ranks by FLOPs, but on the MXU the layout/transpose cost of a plan
+    depends on how (n1, n2, m) land on (8, 128) tiles — which only a
+    measurement settles (the FFTW MEASURE lesson, reference fft.rs:23)."""
+    n, window = cfg.padded_size, cfg.window_size
+    ranked = []
+    for n1 in range(2, 257, 2):
+        if n % n1 or window % n1:
+            continue
+        n2 = n // n1
+        if n2 > 256:
+            continue
+        m = window // n1
+        cost = n1 * n2 * m + n1 * n1 * n2
+        ranked.append((cost, FftPlan(n=n, n1=n1, n2=n2, m=m)))
+    ranked.sort(key=lambda t: t[0])
+    return [p for _, p in ranked[:top]]
+
+
 @functools.lru_cache(maxsize=32)
 def _plan_constants(plan: FftPlan):
     """DFT/twiddle matrices for a plan, in f64 then cast to f32."""

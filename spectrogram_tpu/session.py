@@ -87,17 +87,23 @@ class LiveSession:
         if self.scfg.enable_analyzer:
             self.analyzer = SpectrumAnalyzer(cfg)
             self.levels = self.analyzer.init_levels(1)
-            # One jitted step for the analyzer side-path: eager op-by-op
-            # dispatch costs 12-30 ms RPC each on relay-tunneled backends
-            # and would recompute the STFT op-by-op every tick.
+            # The analyzer consumes the magnitude rows push just wrote into
+            # the row ring — ZERO duplicate STFT work (round-1 recomputed the
+            # whole planar STFT in a second jitted step every tick; wrong
+            # pattern to scale).  Ring rows are bf16: a <=0.4% magnitude
+            # rounding, invisible on a dB bar display (the reference's own
+            # texture path quantizes to f16 the same way).
             import jax
 
             pipeline = self.pipeline
             analyzer = self.analyzer
+            k = pipeline.chunk_hops
 
             @jax.jit
-            def _analyzer_step(levels, buf):
-                rows = pipeline._stft_planar_buf(buf)
+            def _analyzer_step(levels, ring, row_cursor):
+                rows = jax.lax.dynamic_slice_in_dim(
+                    ring, row_cursor, k, axis=1
+                ).astype(jnp.float32)                       # [1, k, 2, B]
                 return analyzer.push_rows(levels, jnp.moveaxis(rows, -2, -1))
 
             self._analyzer_step = _analyzer_step
@@ -125,18 +131,19 @@ class LiveSession:
                 break
             frames = self.registry.ring.pop(n)
             chunk = jnp.asarray(frames[None])
-            if self.analyzer is not None:
-                # Feed the analyzer the same windows push is about to
-                # process.  Must run BEFORE push: push donates the state, so
-                # the old carry buffer is dead afterwards.  Carry is planar.
-                buf = jnp.concatenate(
-                    [self.state.carry, jnp.swapaxes(chunk, 1, 2)], axis=2
-                )
-                self.levels = self._analyzer_step(self.levels, buf)
             with self.latency.measure():
                 self.state, rgba = self.pipeline.push(self.state, chunk)
                 rgba_np = np.asarray(rgba[0])
             out.append(rgba_np)
+            if self.analyzer is not None:
+                # Reuse the rows push just wrote to the ring (no second
+                # STFT).  Their start = cursor rolled back one chunk (the
+                # pre-push cursor was donated away with the old state).
+                k = self.pipeline.chunk_hops
+                write_cursor = (self.state.cursor - k) % self.pipeline.viewport_rows
+                self.levels = self._analyzer_step(
+                    self.levels, self.state.ring, write_cursor
+                )
             if self.scope is not None:
                 self.scope_state = self.scope.push(self.scope_state, chunk)
         return out

@@ -1,0 +1,148 @@
+"""Runtime plan/block autotuning — the FFTW `Flag::MEASURE` analog.
+
+The reference measures FFT plans at startup (reference src/fourier/fft.rs:23,
+`Flag::MEASURE`); the TPU equivalent tunes two discrete choices the static
+cost model cannot settle:
+
+* the four-step factorization N = n1 x n2 (FLOPs tie badly with layout: how
+  (n1, n2, m) land on the MXU's (8, 128) tiles decides the transpose and
+  padding waste — e.g. at N=4096 the model's top pick by MACs is n1=32, but
+  nothing but a measurement proves it beats 64x64);
+* the Pallas stream-block size ts (VMEM residency vs grid overhead).
+
+Results persist in a JSON cache keyed by (device kind, geometry), so the
+measurement cost — a handful of kernel compiles — is paid once per machine
+per geometry, exactly like FFTW wisdom.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import time
+from typing import Optional
+
+import numpy as np
+
+from spectrogram_tpu.config import SpectrogramConfig
+from spectrogram_tpu.ops.mxu_fft import FftPlan, candidate_plans, make_plan
+
+DEFAULT_CACHE = pathlib.Path(
+    os.environ.get(
+        "SPECTROGRAM_TPU_TUNE_CACHE",
+        os.path.expanduser("~/.cache/spectrogram_tpu/autotune.json"),
+    )
+)
+DEFAULT_BLOCK_ROWS = (16, 32)
+
+
+def _cache_key(cfg: SpectrogramConfig, device_kind: str) -> str:
+    return f"{device_kind}|n={cfg.padded_size}|w={cfg.window_size}"
+
+
+def _load_cache(path: pathlib.Path) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_cache(path: pathlib.Path, cache: dict) -> None:
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is an optimization; never fail the pipeline over it
+
+
+def measure_stft(
+    cfg: SpectrogramConfig,
+    plan: FftPlan,
+    block_rows: int,
+    n_streams: int = 1024,
+    iters: int = 30,
+    trials: int = 2,
+) -> float:
+    """ms/push of the fused STFT kernel with this (plan, block) on the real
+    device, scan-measured (per-call timing lies through the relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogram_tpu.ops.pallas import stft_kernel as sk
+
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(
+        rng.standard_normal((n_streams, cfg.window_size)).astype(np.float32) * 0.1
+    )
+    right = left * 0.5
+
+    @jax.jit
+    def run(l):
+        def body(c, _):
+            ml, mr = sk.stft_mag_fused2(
+                c, right, cfg, block_rows=block_rows, slice_bins=False,
+                plan=plan,
+            )
+            return c + ml[:, :1] * 1e-20, ml[0, 0]
+
+        return jax.lax.scan(body, l, None, length=iters)
+
+    c, outs = run(left)
+    np.asarray(outs)
+    best = np.inf
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        c, outs = run(left)
+        np.asarray(c[0, 0])
+        np.asarray(outs)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3
+
+
+def tune(
+    cfg: SpectrogramConfig,
+    cache_path: Optional[pathlib.Path] = None,
+    top_plans: int = 3,
+    block_rows_candidates=DEFAULT_BLOCK_ROWS,
+    measure=None,
+    verbose: bool = False,
+) -> tuple[Optional[FftPlan], int]:
+    """(plan, block_rows) for this geometry: cached if seen before on this
+    device kind, measured otherwise.  Falls back to the static model when no
+    even-n1 candidate exists (caller then uses the XLA path)."""
+    import jax
+
+    measure = measure or measure_stft  # late bind (testable / patchable)
+    cands = [p for p in candidate_plans(cfg, top=top_plans) if p.n1 % 2 == 0]
+    if not cands:
+        return None, 32
+    device_kind = jax.devices()[0].device_kind
+    path = cache_path or DEFAULT_CACHE
+    key = _cache_key(cfg, device_kind)
+    cache = _load_cache(path)
+    hit = cache.get(key)
+    if hit is not None:
+        plan = FftPlan(n=hit["n"], n1=hit["n1"], n2=hit["n2"], m=hit["m"])
+        if plan in cands or plan == make_plan(cfg):
+            return plan, int(hit["block_rows"])
+
+    results = []
+    for plan in cands:
+        for ts in block_rows_candidates:
+            ms = measure(cfg, plan, ts)
+            results.append((ms, plan, ts))
+            if verbose:
+                print(f"  tune {plan.n1}x{plan.n2} ts={ts}: {ms:.3f} ms")
+    ms, plan, ts = min(results, key=lambda t: t[0])
+    cache[key] = {
+        "n": plan.n, "n1": plan.n1, "n2": plan.n2, "m": plan.m,
+        "block_rows": ts, "ms_per_push_1024": round(ms, 4),
+        "candidates": len(results),
+    }
+    _store_cache(path, cache)
+    return plan, ts

@@ -52,3 +52,46 @@ def test_top_level_exports():
     assert sg.LiveSession.__name__ == "LiveSession"
     with pytest.raises(AttributeError):
         sg.nonexistent_symbol
+
+
+def test_render_ansi_frame():
+    """ANSI half-block rendering: geometry, cursor-home, truecolor codes."""
+    from spectrogram_tpu.utils.terminal import render_ansi
+
+    img = np.zeros((64, 40, 3), np.uint8)
+    img[:32] = [255, 0, 0]      # top half red
+    img[32:] = [0, 0, 255]      # bottom half blue
+    frame = render_ansi(img, cols=20, rows=8)
+    assert frame.startswith("\x1b[H")
+    lines = [l for l in frame.split("\n") if l]
+    assert len(lines) == 8
+    assert frame.count("▀") == 20 * 8
+    assert "38;2;255;0;0" in frame and "48;2;255;0;0" in frame
+    assert "38;2;0;0;255" in frame
+    # run-length coding: a solid-color line sets the color once, not 20x
+    assert lines[0].count("38;2;255;0;0") == 1
+
+
+def test_terminal_viewer_no_tty_is_noop():
+    import io
+    from spectrogram_tpu.utils.terminal import TerminalViewer
+
+    buf = io.StringIO()
+    with TerminalViewer(cols=10, rows=4, stream=buf) as tv:
+        tv.draw(np.zeros((8, 8, 3), np.uint8), status="x")
+        assert list(tv.keys()) == []
+    assert buf.getvalue() == ""  # nothing written without a TTY
+
+
+def test_live_view_flag_runs_headless(tmp_path):
+    """--view falls back to the no-op sink when stdout is not a TTY; the
+    streaming loop (including render cadence code) still runs."""
+    from spectrogram_tpu.app import main
+
+    out = tmp_path / "v.png"
+    rc = main([
+        "live", str(out), "--seconds", "0.3", "--streams", "2",
+        "--sample-rate", "8000", "--window", "0.032", "--hop", "0.008",
+        "--height", "64", "--view", "--fps", "100",
+    ])
+    assert rc == 0 and out.exists()

@@ -128,3 +128,91 @@ def test_log_scale_ticks_no_duplicates():
     sc = LogScale(20.0, 20000.0, 100, base=10.0)
     ticks = sc.key_points(40)
     assert len(ticks) == len(set(ticks))
+
+
+def test_multirate_ingest_end_to_end(rng):
+    """VERDICT r1 item 5: multirate wired to ingest — three geometries with
+    different hop cadences, each group advancing at its own rate from its own
+    RingBank16, with per-group drop counters."""
+    import pytest
+    from spectrogram_tpu.io import ring as ring_mod
+    from spectrogram_tpu.models.multirate import StreamGroupManager
+
+    if not ring_mod.native_available():
+        pytest.skip("native ring library unavailable")
+
+    mk = lambda fs, hp: SpectrogramConfig(
+        sample_rate=fs, window_period=0.016, hop_period=hp,
+        viewport_height=64, viewport_rows=16, max_frequency=min(fs / 2 - 100, 22030),
+    )
+    cfg_a = mk(48000.0, 0.004)   # chunk period 8 ms
+    cfg_b = mk(44100.0, 0.006)   # chunk period 12 ms
+    cfg_c = mk(96000.0, 0.002)   # chunk period 4 ms
+
+    mgr = StreamGroupManager(group_capacity=2, chunk_hops=2, ingest=True,
+                             ring_capacity=32768, feeder_depth=2)
+    ids = {}
+    for cfg in (cfg_a, cfg_b, cfg_c):
+        ids[cfg] = [mgr.add_stream(cfg), mgr.add_stream(cfg)]
+
+    def feed(seconds):
+        for cfg in (cfg_a, cfg_b, cfg_c):
+            n = int(seconds * cfg.sample_rate)
+            t = np.arange(n) / cfg.sample_rate
+            for j, sid in enumerate(ids[cfg]):
+                x = (np.sin(2 * np.pi * 440.0 * (j + 1) * t) * 20000).astype(np.int16)
+                got = mgr.push_pcm(sid, np.stack([x, x], axis=-1))
+                assert got == n
+
+    feed(0.3)  # pre-roll: plenty for every cadence
+    blocks = {}
+    now = 100.0
+    for step in range(25):           # 25 x 4 ms = 100 ms simulated
+        out = mgr.tick(now)
+        for cfg, blk in out.items():
+            blocks.setdefault(cfg, []).append(blk)
+        now += 0.004
+    for cfg, blks in mgr.flush().items():
+        blocks.setdefault(cfg, []).extend(blks)
+
+    m = mgr.metrics()
+    rows = m["rows_produced"]
+    key = lambda cfg: f"{cfg.sample_rate:.0f}Hz/w{cfg.window_size}"
+    # 100 ms at 8/12/4 ms cadence -> 13/9/25 pushes x 2 rows (first tick fires
+    # immediately; feeder depth just delays delivery, not production).
+    assert rows[key(cfg_a)] == 2 * 13, rows
+    assert rows[key(cfg_b)] == 2 * 9, rows
+    assert rows[key(cfg_c)] == 2 * 25, rows
+    assert all(v == 0 for v in m["dropped"].values()), m
+    # every group delivered real row blocks with its own geometry
+    for cfg in (cfg_a, cfg_b, cfg_c):
+        blk = blocks[cfg][0]
+        assert blk.shape[0] == 2 and blk.shape[2] == 64
+        assert blk.ndim == 4 and blk.shape[3] == 4
+    # rows are non-silent (tones well above the dB floor)
+    assert len(np.unique(blocks[cfg_a][0])) > 4
+
+    # overrun is counted per group: flood one 32768-frame ring
+    big = np.zeros((70000, 2), np.int16)
+    mgr.push_pcm(ids[cfg_a][0], big)
+    assert mgr.metrics()["dropped"][key(cfg_a)] > 0
+
+
+def test_multirate_slot_reuse_resets_backlog():
+    import pytest
+    from spectrogram_tpu.io import ring as ring_mod
+    from spectrogram_tpu.models.multirate import StreamGroupManager
+
+    if not ring_mod.native_available():
+        pytest.skip("native ring library unavailable")
+    mgr = StreamGroupManager(group_capacity=2, chunk_hops=2, ingest=True)
+    s0 = mgr.add_stream(CFG_A)
+    mgr.add_stream(CFG_A)
+    pcm = np.ones((500, 2), np.int16) * 1000
+    mgr.push_pcm(s0, pcm)
+    g = next(mgr.groups())
+    assert g.bank.size(0) == 500
+    mgr.remove_stream(s0)
+    s2 = mgr.add_stream(CFG_A)
+    assert mgr.location(s2)[1] == 0
+    assert g.bank.size(0) == 0  # dead tenant's backlog discarded

@@ -11,12 +11,12 @@ CFG = SpectrogramConfig(sample_rate=8000.0, window_period=0.032, hop_period=0.00
 # W=256, plan should factor 512
 
 
-def test_fused_stft_matches_golden(rng):
+def test_fused2_small_blocks_match_golden(rng):
     n = 8
     w = CFG.window_size
     pcm = (rng.standard_normal((n, w, 2)) * 0.3).astype(np.float32)
     golden = np.asarray(stft.stft_frame_planar(jnp.asarray(pcm), CFG))  # [n,2,B]
-    mag_l, mag_r = stft_kernel.stft_mag_fused(
+    mag_l, mag_r = stft_kernel.stft_mag_fused2(
         jnp.asarray(pcm[:, :, 0]),
         jnp.asarray(pcm[:, :, 1]),
         CFG,
@@ -32,7 +32,7 @@ def test_fused_stft_pads_ragged(rng):
     w = CFG.window_size
     pcm = (rng.standard_normal((n, w, 2)) * 0.2).astype(np.float32)
     golden = np.asarray(stft.stft_frame_planar(jnp.asarray(pcm), CFG))
-    mag_l, _ = stft_kernel.stft_mag_fused(
+    mag_l, _ = stft_kernel.stft_mag_fused2(
         jnp.asarray(pcm[:, :, 0]),
         jnp.asarray(pcm[:, :, 1]),
         CFG,
@@ -57,3 +57,30 @@ def test_fused2_stft_matches_golden(rng):
     )
     np.testing.assert_allclose(np.asarray(mag_l), golden[:, 0], atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(mag_r), golden[:, 1], atol=3e-5, rtol=1e-4)
+
+
+def test_buf_framing_matches_plane_path(rng):
+    """Element-indexed buffer framing (k windows DMA'd straight from the
+    planar buffer) must equal the window-plane path bit-for-bit."""
+    # hop/n1 must be a multiple of 8 for k>1 (Mosaic sublane alignment):
+    # W=256 -> plan n1=16; hop 128 -> hop_rows=8.
+    cfg = SpectrogramConfig(sample_rate=8000.0, window_period=0.032,
+                            hop_period=0.016)
+    assert stft_kernel.buf_framing_supported(cfg, k=2)
+    k, n = 2, 5
+    w, h = cfg.window_size, cfg.hop_size
+    buf = (rng.standard_normal((n, 2, w + (k - 1) * h)) * 0.3).astype(np.float32)
+    ml, mr = stft_kernel.stft_mag_fused2_buf(
+        jnp.asarray(buf), cfg, k=k, block_rows=4, interpret=True)
+    lefts = np.concatenate([buf[:, 0, r * h : r * h + w] for r in range(k)])
+    rights = np.concatenate([buf[:, 1, r * h : r * h + w] for r in range(k)])
+    rl, rr = stft_kernel.stft_mag_fused2(
+        jnp.asarray(lefts), jnp.asarray(rights), cfg, block_rows=4,
+        interpret=True, slice_bins=False)
+    np.testing.assert_array_equal(np.asarray(ml), np.asarray(rl))
+    np.testing.assert_array_equal(np.asarray(mr), np.asarray(rr))
+    # unaligned-hop geometries report unsupported instead of miscompiling
+    bad = SpectrogramConfig(sample_rate=8000.0, window_period=0.032,
+                            hop_period=0.008)
+    assert not stft_kernel.buf_framing_supported(bad, k=2)
+    assert stft_kernel.buf_framing_supported(bad, k=1)
