@@ -265,34 +265,45 @@ def _builtin_kernel(
     # pressure comes from the unrolled LUT loop's live temps).
     for hc in range(h // subtile):
         sl = slice(hc * subtile, (hc + 1) * subtile)
-        pl_ = jnp.dot(
-            left, mat_ref[:, sl], preferred_element_type=jnp.float32,
+        out_ref[:, sl] = _builtin_word_tile(
+            left, right, mat_ref[:, sl], tab_ref, stereo,
+            min_db=min_db, max_db=max_db, db_eps=db_eps, res=res,
             precision=precision,
         )
-        pr_ = jnp.dot(
-            right, mat_ref[:, sl], preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        power = pl_ * pl_ + pr_ * pr_
-        db = 10.0 * jnp.log10(power + db_eps)
-        mag = (db - min_db) / (max_db - min_db)
-        denom = pl_ + pr_
-        pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
-        xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
-        xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
-        x_color = stereo * xv + (1.0 - stereo) * xu
-        rgb = [jnp.zeros(xu.shape, jnp.float32) for _ in range(3)]
-        for t in range(res):
-            w = jnp.clip(1.0 - jnp.abs(x_color - t), 0.0, 1.0)
-            for c in range(3):
-                rgb[c] = rgb[c] + w * tab_ref[:, t * 4 + c][:, None]
-        alpha = stereo * (xu * (1.0 / (res - 1))) + (1.0 - stereo)
 
-        def q(x):
-            return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.int32)
 
-        word = q(rgb[0]) | (q(rgb[1]) << 8) | (q(rgb[2]) << 16) | (q(alpha) << 24)
-        out_ref[:, sl] = word
+def _builtin_word_tile(left, right, mat_tile, tab_ref, stereo, *,
+                       min_db, max_db, db_eps, res, precision):
+    """[TS, B] magnitude planes x [B, P] matrix tile -> [TS, P] packed RGBA
+    words (pure value math; shared by the standalone colormap kernels and
+    the merged STFT+colormap push kernel)."""
+    pl_ = jnp.dot(
+        left, mat_tile, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    pr_ = jnp.dot(
+        right, mat_tile, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    power = pl_ * pl_ + pr_ * pr_
+    db = 10.0 * jnp.log10(power + db_eps)
+    mag = (db - min_db) / (max_db - min_db)
+    denom = pl_ + pr_
+    pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
+    xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+    xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+    x_color = stereo * xv + (1.0 - stereo) * xu
+    rgb = [jnp.zeros(xu.shape, jnp.float32) for _ in range(3)]
+    for t in range(res):
+        w = jnp.clip(1.0 - jnp.abs(x_color - t), 0.0, 1.0)
+        for c in range(3):
+            rgb[c] = rgb[c] + w * tab_ref[:, t * 4 + c][:, None]
+    alpha = stereo * (xu * (1.0 / (res - 1))) + (1.0 - stereo)
+
+    def q(x):
+        return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.int32)
+
+    return q(rgb[0]) | (q(rgb[1]) << 8) | (q(rgb[2]) << 16) | (q(alpha) << 24)
 
 
 @functools.partial(

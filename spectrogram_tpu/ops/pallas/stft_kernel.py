@@ -70,9 +70,10 @@ def _kernel2(
     channel(right_ref, out_r_ref)
 
 
-def _fft_channel(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
-                 *, plan, precision):
-    """One channel's four-step on a [TS, m, n1] window block (see _kernel2)."""
+def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+                   *, plan, precision):
+    """One channel's four-step on a [TS, m, n1] window block; returns the
+    [TS, k1h, n2] magnitude value (flat bin k = k1*n2 + k2)."""
     n1, n2, m = plan.n1, plan.n2, plan.m
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
     twr_t = twcat_ref[:, :n2]                             # [n1, n2]
@@ -92,7 +93,16 @@ def _fft_channel(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
     dr = jnp.swapaxes(d[..., :k1h], 1, 2)                 # [TS, k1h, n2]
     di = jnp.swapaxes(d[..., k1h:], 1, 2)
     scale = 2.0 / (m * n1)
-    out_ref[:] = jnp.sqrt(dr * dr + di * di) * scale
+    return jnp.sqrt(dr * dr + di * di) * scale
+
+
+def _fft_channel(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
+                 *, plan, precision):
+    """Ref-writing wrapper around _fft_mag_value (see _kernel2)."""
+    out_ref[:] = _fft_mag_value(
+        x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+        plan=plan, precision=precision,
+    )
 
 
 def _kernel2_buf(

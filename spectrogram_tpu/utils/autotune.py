@@ -65,7 +65,8 @@ def measure_stft(
     plan: FftPlan,
     block_rows: int,
     n_streams: int = 1024,
-    iters: int = 30,
+    iters: int = 100,  # relay dispatch (~45 ms/scan) must amortize well
+    # below the ~0.1-0.3 ms candidate deltas being ranked
     trials: int = 2,
 ) -> float:
     """ms/push of the fused STFT kernel with this (plan, block) on the real
@@ -134,10 +135,20 @@ def tune(
     results = []
     for plan in cands:
         for ts in block_rows_candidates:
-            ms = measure(cfg, plan, ts)
+            try:
+                ms = measure(cfg, plan, ts)
+            except Exception as e:  # noqa: BLE001 — a candidate that fails
+                # to compile (VMEM overflow, Mosaic limits) is simply not a
+                # viable plan; infinite cost, like FFTW skipping an algo.
+                if verbose:
+                    print(f"  tune {plan.n1}x{plan.n2} ts={ts}: "
+                          f"FAILED {type(e).__name__}")
+                continue
             results.append((ms, plan, ts))
             if verbose:
                 print(f"  tune {plan.n1}x{plan.n2} ts={ts}: {ms:.3f} ms")
+    if not results:
+        return make_plan(cfg), 32  # nothing compiled: static fallback
     ms, plan, ts = min(results, key=lambda t: t[0])
     cache[key] = {
         "n": plan.n, "n1": plan.n1, "n2": plan.n2, "m": plan.m,

@@ -193,3 +193,31 @@ def test_banded_plan_rejects_bad_inputs():
         ck.colormap_planes_banded(
             jnp.zeros((4, mt.shape[0])), jnp.zeros((4, mt.shape[0])), tabs,
             mt, big, segs[:-1], interpret=True)
+
+
+def test_merged_push_kernel_matches_chain(rng):
+    """push_kernel.push_fused_single (the measured-slower single-call merge,
+    kept as evidence per its module docstring) must stay bitwise-equal to
+    the production two-kernel chain."""
+    from spectrogram_tpu.ops.pallas import push_kernel as pk
+    from spectrogram_tpu.ops.pallas import stft_kernel as sk
+
+    cfg = SpectrogramConfig(sample_rate=8000.0, window_period=0.032,
+                            hop_period=0.008, viewport_height=128,
+                            max_frequency=3600.0)
+    mt = jnp.asarray(cm.resample_matrix_full(cfg).T)
+    segs = ck.band_segments(np.asarray(mt))
+    n, w = 5, cfg.window_size
+    left = jnp.asarray(rng.standard_normal((n, w)).astype(np.float32) * 0.3)
+    right = jnp.asarray(rng.standard_normal((n, w)).astype(np.float32) * 0.3)
+    tabs = jnp.asarray(ck.builtin_color_tables(32))[rng.integers(0, 19, n)]
+
+    packed, magl, magr = pk.push_fused_single(
+        left, right, tabs, mt, cfg, segs, block_rows=4, interpret=True,
+        emit_mags=True)
+    rl, rr = sk.stft_mag_fused2(left, right, cfg, block_rows=4,
+                                interpret=True, slice_bins=False)
+    chain = ck.colormap_planes_banded(rl, rr, tabs, mt, cfg, segs,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(chain))
+    np.testing.assert_array_equal(np.asarray(magl), np.asarray(rl))
