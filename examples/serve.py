@@ -12,11 +12,13 @@ it runs quickly anywhere):
 Run: python examples/serve.py [--streams 512] [--seconds 5]
 
 Note on numbers from the dev harness: each dispatched push pays ~30+ ms of
-RPC relay overhead plus a relayed D2H of the row block, so the per-drain
-wall time here is dominated by the harness, not the pipeline (on-device
-push time at this geometry is ~1 ms for 512 streams; see bench.py for the
-scan-measured device rate).  On a directly-attached TPU host the drain loop
-runs well inside the 16.7 ms hop budget.
+RPC relay overhead, and the host chunk (65 MB at 10k streams) crosses the
+relay tunnel at ~1000x below PCIe speed — wall times here are dominated by
+the harness, not the pipeline (on-device push time: ~1 ms at 512 streams,
+11.9 ms at 10,240; see bench.py / BASELINE.md for scan-measured device
+rates).  On a directly-attached TPU host the 65 MB H2D is ~6 ms and hidden
+by the depth-2 feeder; use --probe-readback when driving this loop through
+a relay so D2H doesn't compound it.
 """
 
 from __future__ import annotations
@@ -43,6 +45,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=512)
     ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument(
+        "--probe-readback", action="store_true",
+        help="force completion without shipping full row blocks to host "
+        "(for relay-tunneled dev TPUs whose D2H is ~1000x slower than a "
+        "production host's; rows stay on device)",
+    )
     args = ap.parse_args()
 
     cfg = SpectrogramConfig(
@@ -76,7 +84,10 @@ def main() -> None:
             t0 += n
             time.sleep(n / cfg.sample_rate * 0.9)
 
-    feeder = DeviceFeeder(pipeline, pipeline.init_state(s), depth=2, planar=True)
+    feeder = DeviceFeeder(
+        pipeline, pipeline.init_state(s), depth=2, planar=True,
+        readback="probe" if args.probe_readback else "full",
+    )
 
     # Warm up (compile) BEFORE opening the ingest: first-compile latency
     # would otherwise overflow every ring (drops counted, but pointless).

@@ -40,9 +40,12 @@ class DeviceFeeder:
         depth: int = 2,
         on_rows: Optional[Callable[[np.ndarray], None]] = None,
         planar: bool = False,
+        readback: str = "full",
     ):
         if depth < 1:
             raise ValueError("depth must be >= 1")
+        if readback not in ("full", "probe"):
+            raise ValueError(f"readback must be 'full' or 'probe', got {readback!r}")
         self.pipeline = pipeline
         self.state = state
         self.depth = depth
@@ -50,6 +53,12 @@ class DeviceFeeder:
         # planar=True: chunks arrive [S, 2, n] (RingBank.pop_matrix_planar),
         # skipping the device-side transpose at the ingestion edge.
         self.planar = bool(planar)
+        # readback="probe": force completion via a single-element host read
+        # and hand back the DEVICE array instead of a full host copy — for
+        # consumers that keep rows on-device (renderers, device-side sinks)
+        # or for dev harnesses whose D2H path is orders of magnitude slower
+        # than a production host's PCIe.
+        self.readback = readback
         # copy_chunks=False only if the caller rotates >= depth+1 host
         # buffers (see push()).
         self.copy_chunks = True
@@ -58,7 +67,11 @@ class DeviceFeeder:
 
     def _drain_one(self) -> np.ndarray:
         rgba = self._inflight.popleft()
-        host = np.asarray(rgba)  # forces completion (relay-safe)
+        if self.readback == "probe":
+            np.asarray(rgba[(0,) * rgba.ndim])  # force completion only
+            host = rgba                          # stays on device
+        else:
+            host = np.asarray(rgba)  # forces completion (relay-safe)
         if self.on_rows is not None:
             self.on_rows(host)
         return host

@@ -517,11 +517,31 @@ def colormap_planes_banded(
             precision=precision,
             subtile=_subtile_for(th),
         )
-        plane_spec = pl.BlockSpec(
-            (pl.Element(ts), pl.Element(band)),
-            lambda i, j, lo=lo: (i * ts, lo),
-            memory_space=pltpu.VMEM,
+        # Element-offset DMA straight out of the full planes (zero slice
+        # copies) needs Mosaic-provable tiling: block dims divisible by
+        # (8, 128) or equal to the array dims.  Segments that fail that
+        # (e.g. the last band clipped to a non-lane-multiple bin count, or
+        # a sub-8 row block) fall back to materialized slices — correctness
+        # first, the copy costs only on awkward geometries.
+        # Mosaic proves divisibility on the index EXPRESSION (i*ts), so ts
+        # must be sublane-aligned even when the grid has one step.
+        elem_ok = (
+            ts % 8 == 0
+            and lo % 128 == 0
+            and (band % 128 == 0 or (lo == 0 and band == b))
         )
+        if elem_ok:
+            plane_spec = pl.BlockSpec(
+                (pl.Element(ts), pl.Element(band)),
+                lambda i, j, lo=lo: (i * ts, lo),
+                memory_space=pltpu.VMEM,
+            )
+            plane_l, plane_r = left, right
+        else:
+            plane_spec = pl.BlockSpec(
+                (ts, band), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            )
+            plane_l, plane_r = left[:, lo:hi], right[:, lo:hi]
         out = pl.pallas_call(
             kernel,
             grid=(n_pad // ts, h_pad // th),
@@ -545,7 +565,7 @@ def colormap_planes_banded(
                 transcendentals=n_pad * h_pad,
             ),
             interpret=interpret,
-        )(left, right, mat_seg, color_tables)
+        )(plane_l, plane_r, mat_seg, color_tables)
         outs.append(out[:, :h_seg])
     return jnp.concatenate(outs, axis=1)[:n]
 

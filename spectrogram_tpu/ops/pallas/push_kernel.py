@@ -39,7 +39,7 @@ from spectrogram_tpu.ops.pallas.colormap_kernel import (
     _builtin_word_tile,
     _subtile_for,
 )
-from spectrogram_tpu.ops.pallas.stft_kernel import _fft_mag_value
+from spectrogram_tpu.ops.pallas.stft_kernel import _fft_mag_value, _scaled_hann
 
 
 def _push_kernel(
@@ -140,7 +140,7 @@ def push_fused_single(
     n_pad = left.shape[0]
     left3 = left.reshape(n_pad, m, n1)
     right3 = right.reshape(n_pad, m, n1)
-    hann2 = stft_ops.hann_window_np(w).reshape(m, n1)
+    hann2 = _scaled_hann(w, m, n1)
     from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
 
     f2cat, twr, twi, f1blk = _block_plan_constants(plan)

@@ -12,7 +12,8 @@ boundaries) that the device profiler showed dominate the composed version:
     4. twiddle multiply (elementwise, 3D)
     5. stage 2: ONE middle-axis MXU dot against the HALF-spectrum block
        n1-DFT (bins k < N/2 only — all the reference emits)
-    6. |X| * 2/W
+    6. |X|, with the 2/W scale pre-folded into the Hann constant and power
+       computed before the single output transpose (see _fft_mag_value)
 
   The "transpose" steps of the classical four-step are folded into the
   dot_general contraction dimensions (see _kernel2).
@@ -23,8 +24,10 @@ in exact arithmetic, with none of its reverse/unpack passes.
 
 Formulation history (negative results preserved in _kernel2's docstring):
 v1 batched dots (4x slower than XLA; deleted in round 2), v2 all-2D-dot
-with 4 swapaxes/channel, v3 (current) middle-axis dot_general with no
-pre-dot transposes — 3.96 -> 3.30 ms standalone at 4096 streams on v5e.
+with 4 swapaxes/channel (3.96 ms standalone at 4096 streams), v3
+middle-axis dot_general with no pre-dot transposes (3.30 ms), v3c/v3d
+(current): power before the output transpose + scale folded into Hann
+(2.86 ms).  Stage 2 as 4 separate dots (no concat) VMEM-OOMs (25 M).
 A k2-major permuted-output variant (skipping the final transposes) was
 tried and reverted: minor dim n1/2=16 pads 8x in (8,128) lane tiles.
 ts=32 blocks; 64 OOMs the default VMEM scope and a raised 96 MB limit
@@ -73,7 +76,13 @@ def _kernel2(
 def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
                    *, plan, precision):
     """One channel's four-step on a [TS, m, n1] window block; returns the
-    [TS, k1h, n2] magnitude value (flat bin k = k1*n2 + k2)."""
+    [TS, k1h, n2] magnitude value (flat bin k = k1*n2 + k2).
+
+    Expects the 2/W output scale PRE-FOLDED into the Hann constant (see
+    _scaled_hann): an exact exponent shift for power-of-two windows, <=1 ulp
+    otherwise, and it deletes one full elementwise pass.  Power is computed
+    in the pre-swap [TS, n2, 2k1h] layout so ONE swapaxes replaces two
+    (bitwise identical; measured 3.02 -> 2.86 ms standalone at 4096 rows)."""
     n1, n2, m = plan.n1, plan.n2, plan.m
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
     twr_t = twcat_ref[:, :n2]                             # [n1, n2]
@@ -90,10 +99,14 @@ def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
         c_cat, f1blk_ref[:], (((1,), (0,)), ((), ())), **kw
     )                                                     # [TS, n2, 2k1h]
     k1h = n1 // 2
-    dr = jnp.swapaxes(d[..., :k1h], 1, 2)                 # [TS, k1h, n2]
-    di = jnp.swapaxes(d[..., k1h:], 1, 2)
-    scale = 2.0 / (m * n1)
-    return jnp.sqrt(dr * dr + di * di) * scale
+    dr, di = d[..., :k1h], d[..., k1h:]
+    p = dr * dr + di * di                                 # power, pre-swap
+    return jnp.sqrt(jnp.swapaxes(p, 1, 2))                # [TS, k1h, n2]
+
+
+def _scaled_hann(w: int, m: int, n1: int) -> "np.ndarray":
+    """Hann window with the 2/W magnitude scale folded in, shaped [m, n1]."""
+    return (stft_ops.hann_window_np(w) * (2.0 / w)).reshape(m, n1)
 
 
 def _fft_channel(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
@@ -166,7 +179,7 @@ def stft_mag_fused2(
     half = (n1 // 2) * n2
     left3 = left.reshape(n_pad, m, n1)
     right3 = right.reshape(n_pad, m, n1)
-    hann2 = stft_ops.hann_window_np(w).reshape(m, n1)
+    hann2 = _scaled_hann(w, m, n1)
     f2cat, twr, twi, f1blk = _block_plan_constants(plan)
     twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)  # [n1, 2n2]
 
@@ -274,7 +287,7 @@ def stft_mag_fused2_buf(
     buf4 = buf.reshape(n_pad, 2, tlen // n1, n1)  # free view
     hop_rows = h // n1
 
-    hann2 = stft_ops.hann_window_np(w).reshape(m, n1)
+    hann2 = _scaled_hann(w, m, n1)
     from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
 
     f2cat, twr, twi, f1blk = _block_plan_constants(plan)

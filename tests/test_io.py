@@ -175,3 +175,32 @@ def test_registry_stop_joins_pump():
     pump = reg._active
     reg.stop()
     assert not pump.is_alive()
+
+
+def test_device_feeder_probe_readback(rng):
+    """probe readback: completion forced, rows stay on device, values equal
+    the full-readback path."""
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.io.feeder import DeviceFeeder
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+    import jax
+
+    cfg = SpectrogramConfig(sample_rate=8000.0, window_period=0.032,
+                            hop_period=0.008, viewport_height=64,
+                            viewport_rows=16)
+    p = SpectrogramPipeline(cfg, chunk_hops=2, store_ring=False)
+    chunks = [rng.standard_normal((2, p.chunk_size, 2)).astype(np.float32) * 0.2
+              for _ in range(3)]
+    full = DeviceFeeder(p, p.init_state(2), depth=2)
+    probe = DeviceFeeder(p, p.init_state(2), depth=2, readback="probe")
+    got_full = [b for c in chunks for b in [full.push(c)] if b is not None]
+    got_full += full.flush()
+    got_probe = [b for c in chunks for b in [probe.push(c)] if b is not None]
+    got_probe += probe.flush()
+    assert len(got_full) == len(got_probe) == 3
+    assert all(isinstance(b, jax.Array) for b in got_probe)  # stayed on device
+    for a, b in zip(got_full, got_probe):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    import pytest
+    with pytest.raises(ValueError, match="readback"):
+        DeviceFeeder(p, p.init_state(1), readback="none")

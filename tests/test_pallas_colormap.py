@@ -221,3 +221,27 @@ def test_merged_push_kernel_matches_chain(rng):
                                       interpret=True)
     np.testing.assert_array_equal(np.asarray(packed), np.asarray(chain))
     np.testing.assert_array_equal(np.asarray(magl), np.asarray(rl))
+
+
+def test_banded_awkward_geometry_fallback(rng):
+    """Non-lane-multiple bin counts (e.g. 1023 bins from a 1024-pt window)
+    and sub-8 row counts must take the sliced fallback and stay exact
+    (regression: the Element path rejected band=895 on real TPUs)."""
+    cfg = SpectrogramConfig(
+        sample_rate=44100.0, window_period=1024 / 44100.0,
+        hop_period=256 / 44100.0, viewport_height=256,
+        max_frequency=20000.0,
+    )
+    mt_np = cm.resample_matrix(cfg).T        # [1023, 256]
+    assert mt_np.shape[0] % 128 != 0
+    segs = ck.band_segments(mt_np)
+    n = 83                                    # odd row count too
+    left = jnp.asarray(np.abs(rng.standard_normal((n, mt_np.shape[0]))).astype(np.float32) * 0.01)
+    right = left * 0.7
+    tabs = jnp.asarray(ck.builtin_color_tables(32))[rng.integers(0, 19, n)]
+    mt = jnp.asarray(mt_np)
+    dense = np.asarray(ck.colormap_planes_builtin(left, right, tabs, mt, cfg,
+                                                  interpret=True))
+    band = np.asarray(ck.colormap_planes_banded(left, right, tabs, mt, cfg,
+                                                segs, interpret=True))
+    np.testing.assert_array_equal(dense, band)
