@@ -148,7 +148,7 @@ def main(quick: bool = False):
         sample_rate=48_000.0, window_period=2048 / 48_000.0,
         hop_period=800 / 48_000.0,
     )
-    n4 = 2048 if quick else 8192
+    n4 = 2048 if quick else 10240  # the full north-star population, measured
     p4 = SpectrogramPipeline(cfg4, chunk_hops=1, store_ring=False, packed_output=True)
     rate4, dt4 = measure_push_rate(p4, n4, scan_len=10 if quick else 20)
     report(
