@@ -85,7 +85,7 @@ def scan_bench(fn, args, iters=150):
     def runb(a0, rest):
         def body(c, _):
             ol, _ = fn(c, *rest)
-            return c + ol[:1, :1] * 1e-20, ol[0, 0, 0]
+            return c + ol[:1, :1, 0] * 1e-20, ol[0, 0, 0]
         return jax.lax.scan(body, a0, None, length=iters)
     a0, rest = args[0], args[1:]
     c, outs = runb(a0, rest); np.asarray(outs)

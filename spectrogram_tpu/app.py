@@ -106,11 +106,16 @@ def cmd_live(args) -> int:
 
     from spectrogram_tpu.io import sources
 
-    batch.attach_all(
-        lambda s: sources.ChirpSource(rate, f0=100.0 * (1 + s % 4))
-        if args.source == "chirp"
-        else sources.SineSource(rate, 220.0 * (1 + s % 8), 330.0)
-    )
+    def attach(kind: str) -> None:
+        batch.attach_all(
+            lambda s: sources.ChirpSource(rate, f0=100.0 * (1 + s % 4))
+            if kind == "chirp"
+            else sources.SineSource(rate, 220.0 * (1 + s % 8), 330.0)
+            if kind == "sine"
+            else sources.NoiseSource()
+        )
+
+    attach(args.source)
 
     state = pipeline.init_state(args.streams, palette_id=pid)
     tracker = LatencyTracker()
@@ -123,16 +128,6 @@ def cmd_live(args) -> int:
 
         source_kinds = ["chirp", "sine", "noise"]
         src_i = source_kinds.index(args.source) if args.source in source_kinds else 0
-
-        def attach(kind):
-            batch.attach_all(
-                lambda s: sources.ChirpSource(rate, f0=100.0 * (1 + s % 4))
-                if kind == "chirp"
-                else sources.SineSource(rate, 220.0 * (1 + s % 8), 330.0)
-                if kind == "sine"
-                else sources.NoiseSource()
-            )
-
         frame_period = 1.0 / args.fps
         with TerminalViewer() as tv:
             next_frame = time.time()

@@ -34,11 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from spectrogram_tpu.config import SpectrogramConfig
 from spectrogram_tpu.ops import stft as stft_ops
 from spectrogram_tpu.ops.mxu_fft import FftPlan, make_plan
-from spectrogram_tpu.ops.pallas.colormap_kernel import (
-    LUT_RES,
-    _builtin_word_tile,
-    _subtile_for,
-)
+from spectrogram_tpu.ops.pallas.colormap_kernel import _builtin_word_tile
 from spectrogram_tpu.ops.pallas.stft_kernel import _fft_mag_value, _scaled_hann
 
 
@@ -50,12 +46,8 @@ def _push_kernel(
     plan, segments, emit_mags, min_db, max_db, db_eps, res,
     precision_stft, precision_cmap, subtile,
 ):
-    if emit_mags:
-        seg_refs = rest[: len(segments)]
-        out_ref, magl_ref, magr_ref = rest[len(segments):]
-    else:
-        seg_refs = rest[: len(segments)]
-        (out_ref,) = rest[len(segments):]
+    seg_refs = rest[: len(segments)]
+    out_ref, *mag_refs = rest[len(segments):]
     ts = left_ref.shape[0]
     half = (plan.n1 // 2) * plan.n2
 
@@ -68,8 +60,8 @@ def _push_kernel(
         mags.append(mag3.reshape(ts, half))         # flat bins, stays in VMEM
     magl, magr = mags
     if emit_mags:
-        magl_ref[:] = magl
-        magr_ref[:] = magr
+        mag_refs[0][:] = magl
+        mag_refs[1][:] = magr
 
     stereo = tab_ref[:, 3][:, None]
     for seg_ref, (p0, p1, lo, hi) in zip(seg_refs, segments):

@@ -37,8 +37,12 @@ def initialize(
     On TPU pods with standard env plumbing, call with no arguments (JAX
     autodetects the coordinator); on hand-rolled clusters pass the trio
     explicitly.  Single-process callers may skip this entirely.
+
+    Must be the process's FIRST JAX call: anything that initializes the XLA
+    backends (even `jax.process_count()`) makes distributed init impossible,
+    so the only safe guard here is the distributed-client check itself.
     """
-    if jax.process_count() > 1 or _already_initialized():
+    if _already_initialized():
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

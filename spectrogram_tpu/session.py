@@ -98,9 +98,14 @@ class LiveSession:
             pipeline = self.pipeline
             analyzer = self.analyzer
             k = pipeline.chunk_hops
+            viewport_rows = pipeline.viewport_rows
 
             @jax.jit
-            def _analyzer_step(levels, ring, row_cursor):
+            def _analyzer_step(levels, ring, cursor):
+                # roll back one chunk INSIDE the jit — eager device-scalar
+                # arithmetic costs a 12-30 ms RPC dispatch each on relay
+                # backends (k / viewport_rows are Python constants)
+                row_cursor = (cursor - k) % viewport_rows
                 rows = jax.lax.dynamic_slice_in_dim(
                     ring, row_cursor, k, axis=1
                 ).astype(jnp.float32)                       # [1, k, 2, B]
@@ -137,12 +142,10 @@ class LiveSession:
             out.append(rgba_np)
             if self.analyzer is not None:
                 # Reuse the rows push just wrote to the ring (no second
-                # STFT).  Their start = cursor rolled back one chunk (the
-                # pre-push cursor was donated away with the old state).
-                k = self.pipeline.chunk_hops
-                write_cursor = (self.state.cursor - k) % self.pipeline.viewport_rows
+                # STFT); the one-chunk cursor roll-back happens inside the
+                # jitted step (the pre-push cursor was donated away).
                 self.levels = self._analyzer_step(
-                    self.levels, self.state.ring, write_cursor
+                    self.levels, self.state.ring, self.state.cursor
                 )
             if self.scope is not None:
                 self.scope_state = self.scope.push(self.scope_state, chunk)

@@ -17,17 +17,24 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # env var is ignored (site hook)
-    jax.distributed.initialize(
+
+    # Initialize through the library wrapper AS THE FIRST JAX CALL — this is
+    # exactly the contract production deployments rely on (regression: an
+    # early guard that probed jax.process_count() initialized the backends
+    # and made distributed init permanently impossible).
+    from spectrogram_tpu.parallel import distributed as dist
+
+    dist.initialize(
         coordinator_address=f"localhost:{port}",
         num_processes=nprocs,
         process_id=pid,
     )
+    dist.initialize()  # idempotent second call must be a no-op
     assert jax.process_count() == nprocs, jax.process_count()
     n_local = len(jax.local_devices())
 
     from spectrogram_tpu.config import SpectrogramConfig
     from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
-    from spectrogram_tpu.parallel import distributed as dist
     from spectrogram_tpu.parallel import mesh as pmesh
 
     cfg = SpectrogramConfig(
