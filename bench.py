@@ -66,15 +66,22 @@ def main() -> None:
     )
 
     rng = np.random.default_rng(0)
-    chunk = jnp.asarray(
-        rng.standard_normal((n_streams, pipeline.chunk_size, 2)).astype(np.float32)
-        * 0.1
-    )
+    # BENCH_PLANAR=1 feeds channels-planar [S, 2, T] chunks — the production
+    # wire format (RingBank planar drains).  Measured: planar wins at 10k
+    # streams (11.28 vs 11.90 ms/push) but loses at 4k (4.29 vs 4.05) — XLA
+    # fuses the interleaved edge transpose better at the smaller batch, so
+    # the default stays interleaved at the headline geometry.
+    planar = os.environ.get("BENCH_PLANAR", "0") == "1"
+    pcm = rng.standard_normal(
+        (n_streams, 2, pipeline.chunk_size)
+    ).astype(np.float32) * 0.1
+    chunk = jnp.asarray(pcm if planar else pcm.transpose(0, 2, 1).copy())
+    push = pipeline.push_planar_impl if planar else pipeline.push_impl
 
     # --- throughput: scanned pushes, one dispatch ---
     def scan_pushes(state, chunk):
         def body(s, _):
-            s, rgba = pipeline.push_impl(s, chunk)
+            s, rgba = push(s, chunk)
             return s, rgba[:, 0, 0]  # tiny per-push checksum, keeps rgba live
 
         return jax.lax.scan(body, state, None, length=scan_len)
@@ -95,13 +102,14 @@ def main() -> None:
     rows_per_sec = n_streams * chunk_hops / dt
 
     # --- latency: single dispatched push (harness upper bound) ---
+    push_jit = pipeline.push_planar if planar else pipeline.push
     lat_state = pipeline.init_state(n_streams)
-    lat_state, rgba = pipeline.push(lat_state, chunk)
+    lat_state, rgba = push_jit(lat_state, chunk)
     np.asarray(rgba[0, 0])
     lats = []
     for _ in range(10):
         t0 = time.perf_counter()
-        lat_state, rgba = pipeline.push(lat_state, chunk)
+        lat_state, rgba = push_jit(lat_state, chunk)
         np.asarray(rgba[0, 0])
         lats.append(time.perf_counter() - t0)
     p50_latency = statistics.median(lats)

@@ -36,9 +36,16 @@ DEFAULT_CACHE = pathlib.Path(
 )
 DEFAULT_BLOCK_ROWS = (16, 32)
 
+# Bump when the fused STFT kernel changes materially: cached rankings were
+# measured against a specific kernel formulation (FFTW re-plans when its
+# codelets change, for the same reason).
+_TUNER_VERSION = 2
+
 
 def _cache_key(cfg: SpectrogramConfig, device_kind: str) -> str:
-    return f"{device_kind}|n={cfg.padded_size}|w={cfg.window_size}"
+    return (
+        f"v{_TUNER_VERSION}|{device_kind}|n={cfg.padded_size}|w={cfg.window_size}"
+    )
 
 
 def _load_cache(path: pathlib.Path) -> dict:
