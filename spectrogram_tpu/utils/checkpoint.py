@@ -6,9 +6,13 @@ the process (SURVEY.md §5).  Here the device row-ring + cursors + palette ids
 form real resumable state: a long-running 10k-stream service should survive
 restarts without blanking every client's viewport.
 
-Format: a single .npz (host arrays) + a JSON config sidecar used to validate
-geometry compatibility on load.  Works for sharded states (device_get
-gathers); reload re-shards via parallel.mesh.shard_state.
+Two formats:
+* .npz + JSON sidecar (`save_state`/`load_state`): single-process; sharded
+  states are gathered to host and re-sharded on load.
+* orbax (`save_sharded`/`load_sharded`): distributed-native — every process
+  writes only its own shards and restore places them straight onto the mesh
+  (no host gather, works across multi-host deployments where non-addressable
+  shards make device_get impossible).
 """
 
 from __future__ import annotations
@@ -84,3 +88,54 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
                 f"expectation {want.shape}"
             )
     return state
+
+
+def save_sharded(path, state: StreamState, cfg: SpectrogramConfig) -> None:
+    """Orbax save of a (possibly multi-host) sharded state: each process
+    persists only its addressable shards; the config sidecar travels in the
+    same directory.  `path` is a directory."""
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", state._asdict(), force=True)
+    if jax.process_index() == 0:
+        (path / "config.json").write_text(
+            json.dumps(dataclasses.asdict(cfg), sort_keys=True)
+        )
+
+
+def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
+    """Restore straight onto the mesh: shapes/shardings come from a freshly
+    built on-mesh template (parallel.mesh.sharded_init), so every process
+    reads only the shards it owns.  `mesh=None` restores unsharded."""
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).resolve()
+    saved_cfg = SpectrogramConfig(
+        **json.loads((path / "config.json").read_text())
+    )
+    if (
+        saved_cfg.window_size != pipeline.cfg.window_size
+        or saved_cfg.sample_rate != pipeline.cfg.sample_rate
+        or saved_cfg.pad_factor != pipeline.cfg.pad_factor
+    ):
+        raise ValueError(
+            f"checkpoint geometry {saved_cfg} incompatible with pipeline "
+            f"{pipeline.cfg}; start a fresh state instead"
+        )
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(path / "state")
+        n_streams = meta.item_metadata["palette_id"].shape[0]
+        if mesh is not None:
+            from spectrogram_tpu.parallel.mesh import sharded_init
+
+            template = sharded_init(pipeline, n_streams, mesh)
+        else:
+            template = pipeline.init_state(n_streams)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+            template._asdict(),
+        )
+        restored = ckptr.restore(path / "state", abstract)
+    return StreamState(**restored)

@@ -136,3 +136,45 @@ def test_session_metrics():
     assert "ring_dropped" in m and "latency" in m
     assert m["rows_produced"] >= 0
     sess.stop()
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path, rng):
+    """Distributed-native checkpointing: save a mesh-sharded state with
+    orbax (per-process shards, no host gather), restore onto the mesh AND
+    unsharded, geometry guard raises on mismatch."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from spectrogram_tpu.parallel import mesh as pmesh
+    from spectrogram_tpu.utils import checkpoint as ck
+
+    cfg = SpectrogramConfig(sample_rate=8000.0, window_period=0.032,
+                            hop_period=0.008, viewport_height=64,
+                            viewport_rows=16)
+    p = SpectrogramPipeline(cfg, chunk_hops=2)
+    m = pmesh.make_mesh()
+    st = pmesh.sharded_init(p, 16, m)
+    chunk = jax.device_put(
+        jnp.asarray(rng.standard_normal((16, p.chunk_size, 2)).astype(np.float32)),
+        pmesh.chunk_sharding(m),
+    )
+    st, _ = pmesh.sharded_push(p, m)(st, chunk)
+
+    ck.save_sharded(tmp_path / "ckpt", st, cfg)
+    st2 = ck.load_sharded(tmp_path / "ckpt", p, mesh=m)
+    for name, a, b in zip(st._fields, st, st2):
+        np.testing.assert_array_equal(
+            np.asarray(a.astype(jnp.float32)), np.asarray(b.astype(jnp.float32))
+        )
+        assert str(b.sharding.spec) == str(a.sharding.spec), name
+    st3 = ck.load_sharded(tmp_path / "ckpt", p)  # unsharded restore
+    np.testing.assert_array_equal(
+        np.asarray(st3.carry), np.asarray(st.carry)
+    )
+    other = SpectrogramPipeline(
+        SpectrogramConfig(sample_rate=16000.0, window_period=0.016,
+                          hop_period=0.004, viewport_height=64,
+                          viewport_rows=16), chunk_hops=2)
+    with pytest.raises(ValueError, match="geometry"):
+        ck.load_sharded(tmp_path / "ckpt", other)
