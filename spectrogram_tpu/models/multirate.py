@@ -222,6 +222,22 @@ class StreamGroupManager:
                 out[cfg] = done
         return out
 
+    def gc_empty_groups(self) -> int:
+        """Drop geometry groups whose every slot is tombstoned, releasing
+        their device state, host rings, and compiled-pipeline references
+        (long-running services churn through geometries as tenants come and
+        go; an abandoned 10k-slot group pins real HBM).  Returns the number
+        of groups collected."""
+        empty = [
+            cfg for cfg, g in self._groups.items()
+            if all(sid == -1 for sid in g.stream_ids)
+        ]
+        for cfg in empty:
+            g = self._groups.pop(cfg)
+            if g.feeder is not None:
+                g.feeder.flush()
+        return len(empty)
+
     def flush(self) -> dict:
         """Force all in-flight pushes (shutdown / checkpoint point)."""
         out = {}

@@ -88,6 +88,7 @@ class SpectrogramPipeline:
         precision_profile: str = "exact",
         kernel_interpret: bool = False,
         autotune: bool = False,
+        sanitize_input: bool = False,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -180,6 +181,13 @@ class SpectrogramPipeline:
         # the production (fused) code path execute on the CPU backend, e.g.
         # under the 8-virtual-device sharding tests and dryrun_multichip.
         self.kernel_interpret = bool(kernel_interpret)
+        # sanitize_input: zero non-finite PCM samples at the ingestion edge.
+        # One buggy producer's NaN otherwise poisons its stream's carry (and
+        # with store_ring its viewport) until slot reuse — unacceptable in a
+        # multi-tenant service.  Off by default: the reference propagates
+        # NaN too (DESIGN.md D3), and the check costs one fused elementwise
+        # pass over the chunk.
+        self.sanitize_input = bool(sanitize_input)
         resample_t = cmap_ops.resample_matrix(cfg).T                    # [B,H]
         self.resample_t = jnp.asarray(resample_t)
         segs2 = cmap_kernel.band_segments(resample_t)
@@ -286,6 +294,8 @@ class SpectrogramPipeline:
     def _push_core(self, state: StreamState, chunk_pl: jax.Array):
         cfg = self.cfg
         k = self.chunk_hops
+        if self.sanitize_input:
+            chunk_pl = jnp.where(jnp.isfinite(chunk_pl), chunk_pl, 0.0)
         buf = jnp.concatenate([state.carry, chunk_pl], axis=2)    # [S, 2, C+T]
         new_carry = buf[:, :, buf.shape[2] - self.carry_size :]
         if self.fused_chain:

@@ -216,3 +216,19 @@ def test_multirate_slot_reuse_resets_backlog():
     s2 = mgr.add_stream(CFG_A)
     assert mgr.location(s2)[1] == 0
     assert g.bank.size(0) == 0  # dead tenant's backlog discarded
+
+
+def test_gc_empty_groups():
+    mgr = StreamGroupManager(group_capacity=2, chunk_hops=2)
+    a = mgr.add_stream(CFG_A)
+    b = mgr.add_stream(CFG_B)
+    assert mgr.metrics()["groups"] == 2
+    mgr.remove_stream(a)
+    assert mgr.gc_empty_groups() == 1          # CFG_A group collected
+    assert mgr.metrics()["groups"] == 1
+    mgr.remove_stream(b)
+    assert mgr.gc_empty_groups() == 1
+    assert mgr.metrics()["groups"] == 0
+    # a fresh add after GC rebuilds the group cleanly
+    c = mgr.add_stream(CFG_A)
+    assert mgr.location(c)[1] == 0

@@ -246,3 +246,25 @@ def test_colormap_kernel_rejects_bin_mismatch():
         ck.colormap_planes_builtin(
             jnp.zeros((2, CFG.num_bins - 3)), jnp.zeros((2, CFG.num_bins - 3)),
             tabs, p.resample_t, CFG, interpret=True)
+
+
+def test_sanitize_input_contains_nan(rng):
+    """sanitize_input=True: one producer's NaN/Inf must not poison the
+    stream's carry (and thus every later row) — non-finite samples are
+    zeroed at the ingestion edge."""
+    clean = make_pipeline()
+    dirty = SpectrogramPipeline(CFG, chunk_hops=4, sanitize_input=True)
+    pcm = rng.standard_normal((2, dirty.chunk_size, 2)).astype(np.float32) * 0.3
+    bad = pcm.copy()
+    bad[0, 5, 0] = np.nan
+    bad[0, -1, 1] = np.inf  # lands in the carry -> poisons future pushes too
+    zeroed = bad.copy()
+    zeroed[~np.isfinite(zeroed)] = 0.0
+
+    s, out = dirty.push(dirty.init_state(2), jnp.asarray(bad))
+    s_ref, out_ref = clean.push(clean.init_state(2), jnp.asarray(zeroed))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    assert np.isfinite(np.asarray(s.carry)).all()
+    # without sanitization the NaN propagates (documenting the default)
+    s2, out2 = clean.push(clean.init_state(2), jnp.asarray(bad))
+    assert not np.isfinite(np.asarray(s2.carry)).all()
