@@ -80,6 +80,22 @@ def main() -> None:
 
     m = ingest.metrics()
     assert m["dropped"] == 0, m
+
+    # The PRODUCTION backend (fused Pallas chain, interpret mode on CPU)
+    # under the same process-spanning mesh: multi-host sharding bugs
+    # specific to _push_fused would pass the auto-backend step above.
+    fused = SpectrogramPipeline(
+        cfg, chunk_hops=2, packed_output=True,
+        stft_backend="pallas", colormap_backend="pallas",
+        kernel_interpret=True,
+    )
+    fstep = pmesh.shard_map_step(fused, mesh)
+    fstate = pmesh.sharded_init(fused, n_streams, mesh)
+    fstate, fpacked, frows = fstep(fstate, ingest.drain())
+    jax.block_until_ready(fpacked)
+    assert int(frows) == n_streams * fused.chunk_hops, int(frows)
+    assert fpacked.shape == (n_streams, 2, cfg.viewport_height)
+
     print(f"DIST_OK pid={pid} rows={int(global_rows)} range=({lo},{hi})",
           flush=True)
 
