@@ -34,6 +34,14 @@ def __getattr__(name):
         from spectrogram_tpu.session import LiveSession
 
         return LiveSession
+    if name == "StreamGroupManager":
+        from spectrogram_tpu.models.multirate import StreamGroupManager
+
+        return StreamGroupManager
+    if name == "DeviceFeeder":
+        from spectrogram_tpu.io.feeder import DeviceFeeder
+
+        return DeviceFeeder
     raise AttributeError(name)
 
 __version__ = "0.1.0"
@@ -57,5 +65,7 @@ __all__ = [
     "rgba_f32_to_u8",
     "SpectrogramPipeline",
     "LiveSession",
+    "StreamGroupManager",
+    "DeviceFeeder",
     "__version__",
 ]

@@ -60,7 +60,14 @@ class FftPlan:
 
 def choose_factors(n: int, window: int) -> tuple[int, int] | None:
     """Pick N1*N2 = n with N1 | window (so zero rows drop out cleanly),
-    both factors <= 256, minimizing stage cost."""
+    both factors <= 256, minimizing stage cost.
+
+    MAC ties (e.g. 32x128 vs 64x64 at N=4096) keep the SMALLER n1: measured
+    on v5e, 64x64 runs the fused kernel itself ~6% faster (1.94 vs 2.06 ms)
+    but the surrounding XLA glue re-layouts for its [N, 32, 64] shapes cost
+    more than that, netting -2% end-to-end.  Standalone kernel time is not
+    the objective — the runtime tuner (utils/autotune.py) measures the full
+    push for exactly this reason."""
     best = None
     for n1 in range(2, 257):
         if n % n1:

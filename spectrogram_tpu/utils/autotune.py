@@ -39,7 +39,7 @@ DEFAULT_BLOCK_ROWS = (16, 32)
 # Bump when the fused STFT kernel changes materially: cached rankings were
 # measured against a specific kernel formulation (FFTW re-plans when its
 # codelets change, for the same reason).
-_TUNER_VERSION = 2
+_TUNER_VERSION = 3
 
 
 def _cache_key(cfg: SpectrogramConfig, device_kind: str) -> str:
@@ -76,38 +76,48 @@ def measure_stft(
     # below the ~0.1-0.3 ms candidate deltas being ranked
     trials: int = 2,
 ) -> float:
-    """ms/push of the fused STFT kernel with this (plan, block) on the real
-    device, scan-measured (per-call timing lies through the relay)."""
+    """ms/push of the FULL production push with this (plan, block) on the
+    real device, scan-measured (per-call timing lies through the relay).
+
+    Measures the whole chain, not the standalone STFT kernel: a plan's
+    shapes change the surrounding XLA glue too — at N=4096 the 64x64 plan's
+    kernel is ~6% faster than 32x128's but its re-layouts cost more than
+    that, netting -2% end-to-end.  Only the full push ranks candidates
+    correctly."""
     import jax
     import jax.numpy as jnp
 
-    from spectrogram_tpu.ops.pallas import stft_kernel as sk
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
 
-    rng = np.random.default_rng(0)
-    left = jnp.asarray(
-        rng.standard_normal((n_streams, cfg.window_size)).astype(np.float32) * 0.1
+    pipeline = SpectrogramPipeline(
+        cfg, chunk_hops=1, store_ring=False, packed_output=True,
+        precision_profile="fast",
     )
-    right = left * 0.5
+    pipeline.fft_plan = plan
+    pipeline.stft_block_rows = block_rows
+    rng = np.random.default_rng(0)
+    chunk = jnp.asarray(
+        rng.standard_normal((n_streams, pipeline.chunk_size, 2)).astype(np.float32)
+        * 0.1
+    )
 
-    @jax.jit
-    def run(l):
-        def body(c, _):
-            ml, mr = sk.stft_mag_fused2(
-                c, right, cfg, block_rows=block_rows, slice_bins=False,
-                plan=plan,
-            )
-            return c + ml[:, :1] * 1e-20, ml[0, 0]
+    def scan(state, chunk):
+        def body(s, _):
+            s, rgba = pipeline.push_impl(s, chunk)
+            return s, rgba[:, 0, 0]
 
-        return jax.lax.scan(body, l, None, length=iters)
+        return jax.lax.scan(body, state, None, length=iters)
 
-    c, outs = run(left)
-    np.asarray(outs)
+    fn = jax.jit(scan, donate_argnums=0)
+    state = pipeline.init_state(n_streams)
+    state, sums = fn(state, chunk)
+    np.asarray(sums)
     best = np.inf
     for _ in range(trials):
+        state = pipeline.init_state(n_streams)
         t0 = time.perf_counter()
-        c, outs = run(left)
-        np.asarray(c[0, 0])
-        np.asarray(outs)
+        state, sums = fn(state, chunk)
+        np.asarray(sums)
         best = min(best, time.perf_counter() - t0)
     return best / iters * 1e3
 
