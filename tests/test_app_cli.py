@@ -95,3 +95,16 @@ def test_live_view_flag_runs_headless(tmp_path):
         "--height", "64", "--view", "--fps", "100",
     ])
     assert rc == 0 and out.exists()
+
+
+def test_downsample_and_odd_sizes():
+    from spectrogram_tpu.utils.terminal import downsample, render_ansi
+
+    img = np.arange(7 * 13 * 3, dtype=np.uint8).reshape(7, 13, 3)
+    out = downsample(img, 3, 5)
+    assert out.shape == (3, 5, 3)
+    np.testing.assert_array_equal(out[0, 0], img[0, 0])
+    np.testing.assert_array_equal(out[-1, -1], img[-1, -1])
+    # odd terminal geometry still renders the full frame
+    frame = render_ansi(img, cols=5, rows=3)
+    assert frame.count("▀") == 15

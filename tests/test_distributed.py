@@ -83,3 +83,32 @@ def test_make_global_chunk_single_process():
     arr = dist.make_global_chunk(mesh, local, n)
     assert arr.shape == (n, 3, 2)
     np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_host_shard_ingest_single_process(rng):
+    """HostShardIngest drains the local bank into a mesh-sharded global
+    chunk (single-process: the local shard is the whole batch)."""
+    import jax
+
+    from spectrogram_tpu.io import ring as ring_mod
+
+    if not ring_mod.native_available():
+        pytest.skip("native ring library unavailable")
+    mesh = dist.global_mesh()
+    n_dev = len(list(mesh.devices.flat))
+    n = 2 * n_dev
+    ingest = dist.HostShardIngest(mesh, n, chunk_size=64, capacity=256)
+    assert ingest.local_streams == n
+    pcm = rng.integers(-20000, 20000, (n, 64, 2)).astype(np.int16)
+    for s in range(n):
+        ingest.bank.push(s, pcm[s])
+    chunk = ingest.drain()
+    assert chunk.shape == (n, 64, 2)
+    np.testing.assert_allclose(
+        np.asarray(chunk), pcm.astype(np.float32) / 32768.0
+    )
+    # underrun after drain: zero-fill, no crash
+    chunk2 = ingest.drain()
+    np.testing.assert_array_equal(np.asarray(chunk2), 0.0)
+    m = ingest.metrics()
+    assert m["streams"] == (0, n) and m["dropped"] == 0
