@@ -224,10 +224,15 @@ class StreamGroupManager:
 
     def gc_empty_groups(self) -> int:
         """Drop geometry groups whose every slot is tombstoned, releasing
-        their device state, host rings, and compiled-pipeline references
-        (long-running services churn through geometries as tenants come and
-        go; an abandoned 10k-slot group pins real HBM).  Returns the number
-        of groups collected."""
+        their device STATE arrays and host rings (an abandoned 10k-slot
+        group pins real HBM).  Returns the number of groups collected.
+
+        Known limit: the pipeline's jitted entry points keep the pipeline
+        object (its constant device tables, ~tens of MB per geometry) and
+        compiled executables alive in JAX's jit cache — JAX has no
+        per-instance eviction; call `jax.clear_caches()` if geometry churn
+        is unbounded (it drops ALL compiled functions, so the next push per
+        surviving geometry recompiles)."""
         empty = [
             cfg for cfg, g in self._groups.items()
             if all(sid == -1 for sid in g.stream_ids)

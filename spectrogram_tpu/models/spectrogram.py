@@ -141,7 +141,17 @@ class SpectrogramPipeline:
             # see utils/autotune.py.  Static model stays the no-tune default.
             from spectrogram_tpu.utils import autotune as autotune_mod
 
-            tuned_plan, tuned_ts = autotune_mod.tune(cfg)
+            tuned_plan, tuned_ts = autotune_mod.tune(
+                cfg,
+                # the deployment config changes the measured graph (framing
+                # path, colormap precision, output packing) — tune THIS one
+                pipeline_kwargs=dict(
+                    chunk_hops=self.chunk_hops,
+                    store_ring=self.store_ring,
+                    packed_output=bool(packed_output),
+                    precision_profile=precision_profile,
+                ),
+            )
             if tuned_plan is not None:
                 self.fft_plan = tuned_plan
                 self.stft_block_rows = tuned_ts
@@ -501,6 +511,10 @@ class SpectrogramPipeline:
         squeeze = pcm.ndim == 2
         if squeeze:
             pcm = pcm[None]
+        if self.sanitize_input:
+            # same ingestion-edge guard as _push_core — process() must keep
+            # matching push() under every option
+            pcm = jnp.where(jnp.isfinite(pcm), pcm, 0.0)
         rows = self._stft(pcm)
         pid = jnp.full((pcm.shape[0],), palette_id, jnp.int32)
         rgba = self._colormap_u8(rows, pid)

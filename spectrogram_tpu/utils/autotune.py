@@ -10,9 +10,13 @@ cost model cannot settle:
   nothing but a measurement proves it beats 64x64);
 * the Pallas stream-block size ts (VMEM residency vs grid overhead).
 
-Results persist in a JSON cache keyed by (device kind, geometry), so the
-measurement cost — a handful of kernel compiles — is paid once per machine
-per geometry, exactly like FFTW wisdom.
+Results persist in a JSON cache keyed by (device kind, geometry, pipeline
+config), so the measurement cost is paid once per machine per deployment
+config, exactly like FFTW wisdom.  That cost is REAL on first run: each
+candidate compiles a full-pipeline measurement scan (minutes on
+relay-tunneled dev TPUs; tens of seconds on a direct host) — warm the cache
+out-of-band (benchmarks/tune_geometries.py) before latency-sensitive
+startups.
 """
 
 from __future__ import annotations
@@ -42,9 +46,15 @@ DEFAULT_BLOCK_ROWS = (16, 32)
 _TUNER_VERSION = 3
 
 
-def _cache_key(cfg: SpectrogramConfig, device_kind: str) -> str:
+def _cache_key(cfg: SpectrogramConfig, device_kind: str,
+               pipeline_kwargs: dict) -> str:
+    # The pipeline config changes the measured graph (chunk_hops selects a
+    # different framing path; precision/packing change the colormap), so
+    # rankings cached for one deployment config must not shadow another's.
+    extras = ",".join(f"{k}={pipeline_kwargs[k]}" for k in sorted(pipeline_kwargs))
     return (
-        f"v{_TUNER_VERSION}|{device_kind}|n={cfg.padded_size}|w={cfg.window_size}"
+        f"v{_TUNER_VERSION}|{device_kind}|n={cfg.padded_size}"
+        f"|w={cfg.window_size}|{extras}"
     )
 
 
@@ -75,6 +85,7 @@ def measure_stft(
     iters: int = 100,  # relay dispatch (~45 ms/scan) must amortize well
     # below the ~0.1-0.3 ms candidate deltas being ranked
     trials: int = 2,
+    pipeline_kwargs: dict | None = None,
 ) -> float:
     """ms/push of the FULL production push with this (plan, block) on the
     real device, scan-measured (per-call timing lies through the relay).
@@ -89,10 +100,10 @@ def measure_stft(
 
     from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
 
-    pipeline = SpectrogramPipeline(
-        cfg, chunk_hops=1, store_ring=False, packed_output=True,
-        precision_profile="fast",
-    )
+    kwargs = dict(chunk_hops=1, store_ring=False, packed_output=True,
+                  precision_profile="fast")
+    kwargs.update(pipeline_kwargs or {})
+    pipeline = SpectrogramPipeline(cfg, **kwargs)
     pipeline.fft_plan = plan
     pipeline.stft_block_rows = block_rows
     rng = np.random.default_rng(0)
@@ -129,19 +140,23 @@ def tune(
     block_rows_candidates=DEFAULT_BLOCK_ROWS,
     measure=None,
     verbose: bool = False,
+    pipeline_kwargs: dict | None = None,
 ) -> tuple[Optional[FftPlan], int]:
-    """(plan, block_rows) for this geometry: cached if seen before on this
-    device kind, measured otherwise.  Falls back to the static model when no
-    even-n1 candidate exists (caller then uses the XLA path)."""
+    """(plan, block_rows) for this geometry AND deployment config (pass the
+    pipeline's chunk_hops/precision/packing via pipeline_kwargs — they
+    change the measured graph): cached if seen before on this device kind,
+    measured otherwise.  Falls back to the static model when no even-n1
+    candidate exists (caller then uses the XLA path)."""
     import jax
 
     measure = measure or measure_stft  # late bind (testable / patchable)
+    pipeline_kwargs = pipeline_kwargs or {}
     cands = [p for p in candidate_plans(cfg, top=top_plans) if p.n1 % 2 == 0]
     if not cands:
         return None, 32
     device_kind = jax.devices()[0].device_kind
     path = cache_path or DEFAULT_CACHE
-    key = _cache_key(cfg, device_kind)
+    key = _cache_key(cfg, device_kind, pipeline_kwargs)
     cache = _load_cache(path)
     hit = cache.get(key)
     if hit is not None:
@@ -150,13 +165,15 @@ def tune(
             return plan, int(hit["block_rows"])
 
     results = []
+    failures = []
     for plan in cands:
         for ts in block_rows_candidates:
             try:
-                ms = measure(cfg, plan, ts)
+                ms = measure(cfg, plan, ts, pipeline_kwargs=pipeline_kwargs)
             except Exception as e:  # noqa: BLE001 — a candidate that fails
                 # to compile (VMEM overflow, Mosaic limits) is simply not a
                 # viable plan; infinite cost, like FFTW skipping an algo.
+                failures.append(e)
                 if verbose:
                     print(f"  tune {plan.n1}x{plan.n2} ts={ts}: "
                           f"FAILED {type(e).__name__}")
@@ -165,7 +182,15 @@ def tune(
             if verbose:
                 print(f"  tune {plan.n1}x{plan.n2} ts={ts}: {ms:.3f} ms")
     if not results:
-        return make_plan(cfg), 32  # nothing compiled: static fallback
+        if failures:
+            # EVERY candidate failed: that is a systemic problem (backend
+            # down, constructor regression), not per-plan inviability —
+            # surface it instead of silently running untuned.
+            raise RuntimeError(
+                f"autotune: all {len(failures)} candidate measurements "
+                f"failed; last error follows"
+            ) from failures[-1]
+        return make_plan(cfg), 32  # no candidates: static fallback
     ms, plan, ts = min(results, key=lambda t: t[0])
     cache[key] = {
         "n": plan.n, "n1": plan.n1, "n2": plan.n2, "m": plan.m,

@@ -78,7 +78,11 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
         palette_id=jnp.asarray(z["palette_id"]),
         row_count=jnp.asarray(z["row_count"]),
     )
-    expected = pipeline.init_state(state.palette_id.shape[0])
+    import functools
+
+    expected = jax.eval_shape(
+        functools.partial(pipeline.init_state, state.palette_id.shape[0])
+    )
     for name, got, want in zip(
         StreamState._fields, state, expected
     ):
@@ -87,6 +91,7 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
                 f"checkpoint field {name} shape {got.shape} != pipeline "
                 f"expectation {want.shape}"
             )
+    _check_cursor_alignment(state, pipeline)
     return state
 
 
@@ -106,9 +111,12 @@ def save_sharded(path, state: StreamState, cfg: SpectrogramConfig) -> None:
 
 
 def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
-    """Restore straight onto the mesh: shapes/shardings come from a freshly
-    built on-mesh template (parallel.mesh.sharded_init), so every process
-    reads only the shards it owns.  `mesh=None` restores unsharded."""
+    """Restore straight onto the mesh: shapes/shardings come from an
+    ABSTRACT template (jax.eval_shape — no HBM is allocated for a throwaway
+    zero state, restore peaks at 1x the state size), so every process reads
+    only the shards it owns.  `mesh=None` restores unsharded."""
+    import functools
+
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(path).resolve()
@@ -127,15 +135,45 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
     with ocp.StandardCheckpointer() as ckptr:
         meta = ckptr.metadata(path / "state")
         n_streams = meta.item_metadata["palette_id"].shape[0]
-        if mesh is not None:
-            from spectrogram_tpu.parallel.mesh import sharded_init
-
-            template = sharded_init(pipeline, n_streams, mesh)
-        else:
-            template = pipeline.init_state(n_streams)
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
-            template._asdict(),
+        template = jax.eval_shape(
+            functools.partial(pipeline.init_state, n_streams)
         )
+        for name, got in meta.item_metadata.items():
+            want = getattr(template, name)
+            if tuple(got.shape) != tuple(want.shape):
+                raise ValueError(
+                    f"checkpoint field {name} shape {tuple(got.shape)} != "
+                    f"pipeline expectation {tuple(want.shape)} (viewport/"
+                    f"chunk geometry changed; start a fresh state)"
+                )
+        if mesh is not None:
+            from spectrogram_tpu.parallel.mesh import state_shardings
+
+            shardings = state_shardings(mesh)
+        else:
+            shardings = jax.tree.map(lambda _: None, template)
+        abstract = {
+            name: jax.ShapeDtypeStruct(
+                getattr(template, name).shape,
+                getattr(template, name).dtype,
+                sharding=getattr(shardings, name),
+            )
+            for name in StreamState._fields
+        }
         restored = ckptr.restore(path / "state", abstract)
-    return StreamState(**restored)
+    state = StreamState(**restored)
+    _check_cursor_alignment(state, pipeline)
+    return state
+
+
+def _check_cursor_alignment(state: StreamState, pipeline) -> None:
+    """A restored cursor must sit on the restoring pipeline's chunk grid:
+    chunk_hops is not part of the array shapes, and a misaligned cursor
+    silently corrupts the ring (the write slice clamps at the wrap)."""
+    cursor = int(state.cursor)
+    if cursor % pipeline.chunk_hops:
+        raise ValueError(
+            f"checkpoint cursor {cursor} is not a multiple of this "
+            f"pipeline's chunk_hops={pipeline.chunk_hops}; it was saved "
+            f"under a different chunking — start a fresh state"
+        )

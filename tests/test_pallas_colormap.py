@@ -245,4 +245,3 @@ def test_banded_awkward_geometry_fallback(rng):
     band = np.asarray(ck.colormap_planes_banded(left, right, tabs, mt, cfg,
                                                 segs, interpret=True))
     np.testing.assert_array_equal(dense, band)
-

@@ -268,3 +268,15 @@ def test_sanitize_input_contains_nan(rng):
     # without sanitization the NaN propagates (documenting the default)
     s2, out2 = clean.push(clean.init_state(2), jnp.asarray(bad))
     assert not np.isfinite(np.asarray(s2.carry)).all()
+
+
+def test_process_matches_push_with_sanitize(rng):
+    """process() must honor sanitize_input exactly like push() (review
+    finding: the option only guarded the streaming edge)."""
+    p = SpectrogramPipeline(CFG, chunk_hops=4, sanitize_input=True)
+    pcm = rng.standard_normal((1, p.chunk_size, 2)).astype(np.float32) * 0.3
+    pcm[0, -1, 0] = np.nan
+    s, pushed = p.push(p.init_state(1), jnp.asarray(pcm))
+    padded = np.concatenate([np.zeros((1, p.carry_size, 2), np.float32), pcm], axis=1)
+    oneshot = np.asarray(p.process(jnp.asarray(padded)))
+    np.testing.assert_array_equal(np.asarray(pushed), oneshot)

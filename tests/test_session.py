@@ -178,3 +178,31 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path, rng):
                           viewport_rows=16), chunk_hops=2)
     with pytest.raises(ValueError, match="geometry"):
         ck.load_sharded(tmp_path / "ckpt", other)
+
+
+def test_checkpoint_rejects_chunk_hops_mismatch(tmp_path, rng):
+    """Review finding: array shapes cannot catch a chunk_hops change, but a
+    misaligned restored cursor silently corrupts the ring — both loaders
+    must reject it."""
+    import jax.numpy as jnp
+    import pytest
+
+    from spectrogram_tpu.utils import checkpoint as ck
+
+    cfg = SpectrogramConfig(sample_rate=8000.0, window_period=0.032,
+                            hop_period=0.008, viewport_height=64,
+                            viewport_rows=16)
+    p2 = SpectrogramPipeline(cfg, chunk_hops=2)
+    s = p2.init_state(1)
+    chunk = jnp.asarray(rng.standard_normal((1, p2.chunk_size, 2)).astype(np.float32))
+    s, _ = p2.push(s, chunk)            # cursor = 2
+    ck.save_state(tmp_path / "c", s, cfg)
+    ck.save_sharded(tmp_path / "d", s, cfg)
+
+    p4 = SpectrogramPipeline(cfg, chunk_hops=4)  # same shapes, wrong grid
+    with pytest.raises(ValueError, match="chunk_hops"):
+        ck.load_state(tmp_path / "c", p4)
+    with pytest.raises(ValueError, match="chunk_hops"):
+        ck.load_sharded(tmp_path / "d", p4)
+    # aligned restore still works
+    assert int(ck.load_state(tmp_path / "c", p2).cursor) == 2
