@@ -215,6 +215,13 @@ def cmd_inputs(_args) -> int:
     return 0
 
 
+def _positive_float(text: str) -> float:
+    value = float(text)
+    if value <= 0:
+        raise argparse.ArgumentTypeError(f"must be > 0, got {text}")
+    return value
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="spectrogram_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -252,7 +259,7 @@ def main(argv=None) -> int:
         "--view", action="store_true",
         help="live ANSI terminal viewer (p/P palette, s source, q quit)",
     )
-    p_live.add_argument("--fps", type=float, default=20.0)
+    p_live.add_argument("--fps", type=_positive_float, default=20.0)
     common(p_live)
     p_live.set_defaults(fn=cmd_live)
 

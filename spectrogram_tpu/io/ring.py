@@ -14,6 +14,7 @@ import ctypes
 import pathlib
 import subprocess
 import threading
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -47,11 +48,22 @@ def _load_library() -> Optional[ctypes.CDLL]:
                 capture_output=True,
                 timeout=120,
             )
-        except (OSError, subprocess.SubprocessError):
+        except (OSError, subprocess.SubprocessError) as exc:
             if not _SO_PATH.exists():
                 _BUILD_FAILED = True
                 return None
-            # toolchain unavailable but a previously built .so exists: use it
+            # Toolchain unavailable but a previously built .so exists: use
+            # it, but LOUDLY — a stale binary either raises confusing ctypes
+            # AttributeErrors (missing new symbols) or silently runs old
+            # native code.
+            stderr = getattr(exc, "stderr", b"") or b""
+            warnings.warn(
+                "native ring library rebuild failed; loading the existing "
+                f"{_SO_PATH.name}, which may be stale vs ring_buffer.cpp. "
+                f"make said: {stderr.decode(errors='replace').strip()[-500:]}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         try:
             lib = ctypes.CDLL(str(_SO_PATH))
         except OSError:

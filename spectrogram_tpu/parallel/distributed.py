@@ -44,18 +44,30 @@ def initialize(
     """
     if _already_initialized():
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        **kwargs,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as exc:
+        # Idempotency fallback when the private-state probe below was
+        # unavailable: jax raises RuntimeError on double-initialize.
+        if "already" not in str(exc).lower():
+            raise
 
 
 def _already_initialized() -> bool:
-    from jax._src import distributed
+    # jax._src.distributed is private and can move across JAX upgrades; on
+    # any shape change, report "unknown" (False) and let initialize()'s
+    # RuntimeError fallback preserve idempotency (ADVICE r2).
+    try:
+        from jax._src import distributed
 
-    return distributed.global_state.client is not None
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
 
 
 def global_mesh():

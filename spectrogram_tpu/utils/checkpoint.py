@@ -28,9 +28,32 @@ from spectrogram_tpu.config import SpectrogramConfig
 from spectrogram_tpu.models.spectrogram import SpectrogramPipeline, StreamState
 
 
-def save_state(path, state: StreamState, cfg: SpectrogramConfig) -> None:
+def _sidecar_payload(cfg: SpectrogramConfig, pipeline=None) -> str:
+    """Config sidecar JSON.  Alongside the geometry it records the saving
+    pipeline's chunk_hops/viewport_rows when known: cursor validity depends
+    on them but they are not part of any array shape, so without the record
+    a k=8 checkpoint restored at k=4 could pass the modular fallback check
+    by luck (ADVICE r2)."""
+    doc = dict(dataclasses.asdict(cfg))
+    if pipeline is not None:
+        doc["_pipeline"] = {
+            "chunk_hops": pipeline.chunk_hops,
+            "viewport_rows": pipeline.viewport_rows,
+        }
+    return json.dumps(doc, sort_keys=True)
+
+
+def _parse_sidecar(text: str) -> tuple[SpectrogramConfig, dict]:
+    doc = json.loads(text)
+    pipeline_meta = doc.pop("_pipeline", {})
+    return SpectrogramConfig(**doc), pipeline_meta
+
+
+def save_state(
+    path, state: StreamState, cfg: SpectrogramConfig, pipeline=None
+) -> None:
     """Write state + config. `path` gets `.npz`; a `.json` sidecar holds the
-    geometry."""
+    geometry (plus chunk_hops/viewport_rows when `pipeline` is given)."""
     path = pathlib.Path(path)
     host = jax.device_get(state)
     np.savez_compressed(
@@ -42,14 +65,12 @@ def save_state(path, state: StreamState, cfg: SpectrogramConfig) -> None:
         row_count=np.asarray(host.row_count),
         ring_dtype=str(state.ring.dtype),
     )
-    path.with_suffix(".json").write_text(
-        json.dumps(dataclasses.asdict(cfg), sort_keys=True)
-    )
+    path.with_suffix(".json").write_text(_sidecar_payload(cfg, pipeline))
 
 
 def load_config(path) -> SpectrogramConfig:
     path = pathlib.Path(path)
-    return SpectrogramConfig(**json.loads(path.with_suffix(".json").read_text()))
+    return _parse_sidecar(path.with_suffix(".json").read_text())[0]
 
 
 def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
@@ -59,7 +80,9 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
     import jax.numpy as jnp
 
     path = pathlib.Path(path)
-    saved_cfg = load_config(path)
+    saved_cfg, pipeline_meta = _parse_sidecar(
+        path.with_suffix(".json").read_text()
+    )
     if (
         saved_cfg.window_size != pipeline.cfg.window_size
         or saved_cfg.sample_rate != pipeline.cfg.sample_rate
@@ -91,11 +114,13 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
                 f"checkpoint field {name} shape {got.shape} != pipeline "
                 f"expectation {want.shape}"
             )
-    _check_cursor_alignment(state, pipeline)
+    _check_cursor_alignment(state, pipeline, pipeline_meta)
     return state
 
 
-def save_sharded(path, state: StreamState, cfg: SpectrogramConfig) -> None:
+def save_sharded(
+    path, state: StreamState, cfg: SpectrogramConfig, pipeline=None
+) -> None:
     """Orbax save of a (possibly multi-host) sharded state: each process
     persists only its addressable shards; the config sidecar travels in the
     same directory.  `path` is a directory."""
@@ -105,9 +130,7 @@ def save_sharded(path, state: StreamState, cfg: SpectrogramConfig) -> None:
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", state._asdict(), force=True)
     if jax.process_index() == 0:
-        (path / "config.json").write_text(
-            json.dumps(dataclasses.asdict(cfg), sort_keys=True)
-        )
+        (path / "config.json").write_text(_sidecar_payload(cfg, pipeline))
 
 
 def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
@@ -120,8 +143,8 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(path).resolve()
-    saved_cfg = SpectrogramConfig(
-        **json.loads((path / "config.json").read_text())
+    saved_cfg, pipeline_meta = _parse_sidecar(
+        (path / "config.json").read_text()
     )
     if (
         saved_cfg.window_size != pipeline.cfg.window_size
@@ -162,14 +185,37 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
         }
         restored = ckptr.restore(path / "state", abstract)
     state = StreamState(**restored)
-    _check_cursor_alignment(state, pipeline)
+    _check_cursor_alignment(state, pipeline, pipeline_meta)
     return state
 
 
-def _check_cursor_alignment(state: StreamState, pipeline) -> None:
+def _check_cursor_alignment(
+    state: StreamState, pipeline, pipeline_meta: dict | None = None
+) -> None:
     """A restored cursor must sit on the restoring pipeline's chunk grid:
     chunk_hops is not part of the array shapes, and a misaligned cursor
-    silently corrupts the ring (the write slice clamps at the wrap)."""
+    silently corrupts the ring (the write slice clamps at the wrap).
+
+    Checkpoints written since round 3 record the saving pipeline's
+    chunk_hops/viewport_rows in the sidecar — compared directly.  Older
+    checkpoints fall back to the modular heuristic (which a lucky cursor,
+    e.g. saved at k=8 restored at k=4, could pass undetected)."""
+    meta = pipeline_meta or {}
+    if meta:
+        saved_k = meta.get("chunk_hops")
+        if saved_k is not None and saved_k != pipeline.chunk_hops:
+            raise ValueError(
+                f"checkpoint was saved with chunk_hops={saved_k}; this "
+                f"pipeline uses chunk_hops={pipeline.chunk_hops} — start a "
+                f"fresh state"
+            )
+        saved_rows = meta.get("viewport_rows")
+        if saved_rows is not None and saved_rows != pipeline.viewport_rows:
+            raise ValueError(
+                f"checkpoint was saved with viewport_rows={saved_rows}; "
+                f"this pipeline uses {pipeline.viewport_rows} — start a "
+                f"fresh state"
+            )
     cursor = int(state.cursor)
     if cursor % pipeline.chunk_hops:
         raise ValueError(

@@ -206,3 +206,30 @@ def test_checkpoint_rejects_chunk_hops_mismatch(tmp_path, rng):
         ck.load_sharded(tmp_path / "d", p4)
     # aligned restore still works
     assert int(ck.load_state(tmp_path / "c", p2).cursor) == 2
+
+
+def test_checkpoint_sidecar_defeats_lucky_cursor(tmp_path, rng):
+    """ADVICE r2: the modular cursor check is heuristic — a k=8 checkpoint
+    whose cursor lands on a multiple of the restoring k=4 passes it.  The
+    sidecar now records the saving pipeline's chunk_hops, caught directly."""
+    import jax.numpy as jnp
+    import pytest
+
+    from spectrogram_tpu.utils import checkpoint as ck
+
+    cfg = SpectrogramConfig(sample_rate=8000.0, window_period=0.032,
+                            hop_period=0.008, viewport_height=64,
+                            viewport_rows=16)
+    p8 = SpectrogramPipeline(cfg, chunk_hops=8)
+    s = p8.init_state(1)
+    chunk = jnp.asarray(
+        rng.standard_normal((1, p8.chunk_size, 2)).astype(np.float32))
+    s, _ = p8.push(s, chunk)            # cursor = 8: multiple of 4 too
+    ck.save_state(tmp_path / "c", s, cfg, pipeline=p8)
+
+    p4 = SpectrogramPipeline(cfg, chunk_hops=4)
+    assert int(s.cursor) % p4.chunk_hops == 0  # the heuristic WOULD pass
+    with pytest.raises(ValueError, match="chunk_hops=8"):
+        ck.load_state(tmp_path / "c", p4)
+    # same-pipeline restore still works
+    assert int(ck.load_state(tmp_path / "c", p8).cursor) == 8
