@@ -30,12 +30,26 @@ MAX_DB = -10.0  # colorscheme.rs:17
 
 @dataclasses.dataclass(frozen=True)
 class ColorScheme:
+    """A named palette: mono (color = gradient(magnitude)) or stereo
+    (color = gradient(pan), alpha = magnitude; explicit background).
+
+    User-defined schemes are first-class, like the reference's public
+    `ColorScheme::new_mono/new_stereo` (colorscheme.rs:24-39): either name a
+    registered gradient, or pass any vectorized `gradient_fn`
+    (t in [0,1] -> float rgb in [0,1]) with gradient_name="".  Custom
+    schemes ride the same fused device kernels as the built-ins — hand a
+    scheme list to `SpectrogramPipeline(schemes=...)`.
+    """
+
     name: str
     gradient_name: str
     background: Optional[tuple[int, int, int]] = None  # stereo schemes only
+    gradient_fn: Optional[GradientFn] = None           # overrides gradient_name
 
     @property
     def gradient(self) -> GradientFn:
+        if self.gradient_fn is not None:
+            return self.gradient_fn
         return GRADIENTS[self.gradient_name]
 
     @property
@@ -116,6 +130,61 @@ class ColorScheme:
         return u, v
 
 
+@dataclasses.dataclass(frozen=True)
+class FactoredScheme:
+    """A palette given directly as rank-1 LUT factors U[res, 4], V[res, 4]
+    with LUT[i, j, c] = U[i, c] * V[j, c] (i = magnitude axis, j = pan axis,
+    reversed like the reference's table, colorscheme.rs:81).
+
+    This is the escape hatch past the gradient structure: any separable 2D
+    response (e.g. hue from pan AND brightness from magnitude) expressed
+    exactly.  Schemes that happen to match the built-in mono/stereo shape
+    are auto-detected and still take the specialized kernel; everything else
+    runs the generic fused kernel (`colormap_rows_fused` machinery) — same
+    Pallas path, two 4-channel tent interpolations instead of one 3-channel.
+    """
+
+    name: str
+    u: tuple          # nested tuple [res][4] (hashable; np arrays accepted in ctor)
+    v: tuple
+    background: tuple[int, int, int] = (0, 0, 0)
+
+    def __init__(self, name, u, v, background=(0, 0, 0)):
+        u = np.asarray(u, dtype=np.float32)
+        v = np.asarray(v, dtype=np.float32)
+        if u.ndim != 2 or u.shape[1] != 4 or u.shape != v.shape:
+            raise ValueError(
+                f"factored tables must be [res, 4] and same-shape; got "
+                f"{u.shape} and {v.shape}"
+            )
+        object.__setattr__(self, "name", name)
+        object.__setattr__(self, "u", tuple(map(tuple, u.tolist())))
+        object.__setattr__(self, "v", tuple(map(tuple, v.tolist())))
+        object.__setattr__(self, "background", tuple(background))
+
+    @property
+    def is_stereo(self) -> bool:
+        # pan-sensitive iff V varies along the pan axis
+        v = np.asarray(self.v, dtype=np.float32)
+        return bool(np.any(v != v[0]))
+
+    def background_color(self) -> tuple[int, int, int]:
+        return self.background
+
+    def factored_tables(self, resolution: int = 32) -> tuple[np.ndarray, np.ndarray]:
+        u = np.asarray(self.u, dtype=np.float32)
+        if u.shape[0] != resolution:
+            raise ValueError(
+                f"{self.name}: tables have res {u.shape[0]}, pipeline wants "
+                f"{resolution}"
+            )
+        return u, np.asarray(self.v, dtype=np.float32)
+
+    def lookup_table(self, resolution: int = 32) -> np.ndarray:
+        u, v = self.factored_tables(resolution)
+        return (u[:, None, :] * v[None, :, :]).astype(np.float32)
+
+
 _BLACK = (0, 0, 0)
 
 # Order matches default_color_schemes() (colorscheme.rs:125-151); index is the
@@ -153,21 +222,24 @@ def scheme_by_name(name: str) -> ColorScheme:
     return DEFAULT_COLOR_SCHEMES[_NAME_TO_INDEX[name]]
 
 
-def stacked_lookup_tables(resolution: int = 32) -> np.ndarray:
-    """All default palettes as one [P, res, res, 4] f32 array (device LUT)."""
-    return np.stack(
-        [s.lookup_table(resolution) for s in DEFAULT_COLOR_SCHEMES], axis=0
-    )
+def stacked_lookup_tables(resolution: int = 32, schemes=None) -> np.ndarray:
+    """The palettes as one [P, res, res, 4] f32 array (device LUT)."""
+    schemes = DEFAULT_COLOR_SCHEMES if schemes is None else schemes
+    return np.stack([s.lookup_table(resolution) for s in schemes], axis=0)
 
 
-def stacked_factored_tables(resolution: int = 32) -> tuple[np.ndarray, np.ndarray]:
-    """All default palettes' rank-1 factors: (U[P,res,4], V[P,res,4])."""
-    us, vs = zip(*(s.factored_tables(resolution) for s in DEFAULT_COLOR_SCHEMES))
+def stacked_factored_tables(
+    resolution: int = 32, schemes=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """The palettes' rank-1 factors: (U[P,res,4], V[P,res,4])."""
+    schemes = DEFAULT_COLOR_SCHEMES if schemes is None else schemes
+    us, vs = zip(*(s.factored_tables(resolution) for s in schemes))
     return np.stack(us), np.stack(vs)
 
 
-def stacked_backgrounds() -> np.ndarray:
+def stacked_backgrounds(schemes=None) -> np.ndarray:
     """[P, 3] u8 background colors (frame clear color, gpu_spectrogram.rs:293)."""
+    schemes = DEFAULT_COLOR_SCHEMES if schemes is None else schemes
     return np.stack(
-        [np.array(s.background_color(), dtype=np.uint8) for s in DEFAULT_COLOR_SCHEMES]
+        [np.array(s.background_color(), dtype=np.uint8) for s in schemes]
     )

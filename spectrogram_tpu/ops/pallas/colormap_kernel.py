@@ -306,6 +306,92 @@ def _builtin_word_tile(left, right, mat_tile, tab_ref, stereo, *,
     return q(rgb[0]) | (q(rgb[1]) << 8) | (q(rgb[2]) << 16) | (q(alpha) << 24)
 
 
+def _generic_kernel(
+    left_ref,    # [TS, B] f32
+    right_ref,   # [TS, B] f32
+    mat_ref,     # [B, H] f32 (FULL pixel axis, resident across the grid)
+    u_ref,       # [TS, R*4] f32 per-row mag-axis table (cols t*4+c)
+    v_ref,       # [TS, R*4] f32 per-row pan-axis table
+    out_ref,     # [TS, H] i32 packed RGBA8888
+    *,
+    min_db: float,
+    max_db: float,
+    db_eps: float,
+    res: int,
+    precision,
+    subtile: int,
+):
+    """Generic two-table colormap (planes in, packed out, subtiled like
+    `_builtin_kernel`): serves ANY rank-1-factored palette — the device path
+    for user-defined schemes outside the built-in mono/stereo structure
+    (reference uploads any scheme's LUT, gpu_spectrogram.rs:232-239)."""
+    left = left_ref[:]
+    right = right_ref[:]
+    h = mat_ref.shape[1]
+    for hc in range(h // subtile):
+        sl = slice(hc * subtile, (hc + 1) * subtile)
+        out_ref[:, sl] = _generic_word_tile(
+            left, right, mat_ref[:, sl], u_ref, v_ref,
+            min_db=min_db, max_db=max_db, db_eps=db_eps, res=res,
+            precision=precision,
+        )
+
+
+def _generic_word_tile(left, right, mat_tile, u_ref, v_ref, *,
+                       min_db, max_db, db_eps, res, precision):
+    """[TS, B] planes x [B, P] matrix tile -> [TS, P] packed RGBA words via
+    the full two-axis factored LUT (exact clamped-bilinear sample of
+    LUT[i,j,c] = U[i,c]*V[j,c]; same math as `_kernel`, packed-only)."""
+    pl_ = jnp.dot(
+        left, mat_tile, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    pr_ = jnp.dot(
+        right, mat_tile, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    power = pl_ * pl_ + pr_ * pr_
+    db = 10.0 * jnp.log10(power + db_eps)
+    mag = (db - min_db) / (max_db - min_db)
+    denom = pl_ + pr_
+    pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
+    xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+    xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+    cu = [jnp.zeros(xu.shape, jnp.float32) for _ in range(4)]
+    cv = [jnp.zeros(xu.shape, jnp.float32) for _ in range(4)]
+    for t in range(res):
+        wu = jnp.clip(1.0 - jnp.abs(xu - t), 0.0, 1.0)
+        wv = jnp.clip(1.0 - jnp.abs(xv - t), 0.0, 1.0)
+        for c in range(4):
+            cu[c] = cu[c] + wu * u_ref[:, t * 4 + c][:, None]
+            cv[c] = cv[c] + wv * v_ref[:, t * 4 + c][:, None]
+
+    def q(c):
+        return jnp.clip(
+            jnp.round(cu[c] * cv[c] * 255.0), 0.0, 255.0
+        ).astype(jnp.int32)
+
+    return q(0) | (q(1) << 8) | (q(2) << 16) | (q(3) << 24)
+
+
+def _tables_kernel_and_operands(color_tables, *, kw, subtile):
+    """Dispatch on the table format: a single [N, R*4] array selects the
+    specialized built-in kernel; a (u_flat, v_flat) tuple selects the
+    generic two-table kernel.  Returns (kernel_fn, [table operands], res)."""
+    if isinstance(color_tables, (tuple, list)):
+        u_flat, v_flat = color_tables
+        res = u_flat.shape[1] // 4
+        kernel = functools.partial(
+            _generic_kernel, res=res, subtile=subtile, **kw
+        )
+        return kernel, [u_flat, v_flat], res
+    res = color_tables.shape[1] // 4
+    kernel = functools.partial(
+        _builtin_kernel, res=res, subtile=subtile, **kw
+    )
+    return kernel, [color_tables], res
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "block_rows", "block_cols", "precision", "interpret"),
@@ -345,7 +431,11 @@ def colormap_planes_builtin(
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
 ) -> jax.Array:
-    """As colormap_rows_builtin but taking separate channel planes."""
+    """As colormap_rows_builtin but taking separate channel planes.
+
+    `color_tables` selects the kernel: a single [N, R*4] array = the
+    specialized built-in kernel; a (u_flat, v_flat) tuple (each [N, R*4]) =
+    the generic two-table kernel serving arbitrary factored palettes."""
     n, b = left.shape
     if matrix_t.shape[0] != b:
         raise ValueError(
@@ -354,30 +444,39 @@ def colormap_planes_builtin(
             f"first {b} matrix rows)"
         )
     h = matrix_t.shape[1]
-    res = color_tables.shape[1] // 4
 
     block_rows, block_cols = _auto_blocks(b, block_rows, block_cols)
     ts = min(block_rows, n) if n % block_rows else block_rows
+    tables = (
+        list(color_tables)
+        if isinstance(color_tables, (tuple, list))
+        else [color_tables]
+    )
     if n % ts:
         pad = ts - n % ts
         left = jnp.pad(left, ((0, pad), (0, 0)))
         right = jnp.pad(right, ((0, pad), (0, 0)))
-        color_tables = jnp.pad(color_tables, ((0, pad), (0, 0)))
+        tables = [jnp.pad(t, ((0, pad), (0, 0))) for t in tables]
     n_pad = left.shape[0]
     th = block_cols
     if h % th:
         matrix_t = jnp.pad(matrix_t, ((0, 0), (0, th - h % th)))
     h_pad = matrix_t.shape[1]
 
-    kernel = functools.partial(
-        _builtin_kernel,
+    kw = dict(
         min_db=cfg.min_db,
         max_db=cfg.max_db,
         db_eps=cfg.db_epsilon,
-        res=res,
         precision=precision,
-        subtile=_subtile_for(th),
     )
+    kernel, tables, res = _tables_kernel_and_operands(
+        tables if len(tables) > 1 else tables[0],
+        kw=kw, subtile=_subtile_for(th),
+    )
+    table_specs = [
+        pl.BlockSpec((ts, res * 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        for _ in tables
+    ]
     # 2-D grid (row blocks x pixel-column tiles).  Between consecutive grid
     # steps the row-block index map is unchanged while j sweeps, so Pallas
     # skips re-fetching the row planes; the matrix tiles stream.
@@ -388,8 +487,7 @@ def colormap_planes_builtin(
             pl.BlockSpec((ts, b), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, b), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, th), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, res * 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + table_specs,
         out_specs=pl.BlockSpec((ts, th), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, h_pad), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -398,7 +496,7 @@ def colormap_planes_builtin(
             transcendentals=n_pad * h_pad,
         ),
         interpret=interpret,
-    )(left, right, matrix_t, color_tables)
+    )(left, right, matrix_t, *tables)
     return out[:n, :h]
 
 
@@ -485,18 +583,22 @@ def colormap_planes_banded(
             f"rows have {b} bins but resample matrix expects {matrix_t.shape[0]}"
         )
     h = matrix_t.shape[1]
-    res = color_tables.shape[1] // 4
     if segments[-1][1] != h or segments[0][0] != 0:
         raise ValueError(f"segments {segments} do not tile H={h}")
 
     max_band = max(hi - lo for _, _, lo, hi in segments)
     block_rows, block_cols = _auto_blocks(max_band, block_rows, block_cols)
     ts = min(block_rows, n) if n % block_rows else block_rows
+    tables = (
+        list(color_tables)
+        if isinstance(color_tables, (tuple, list))
+        else [color_tables]
+    )
     if n % ts:
         pad = ts - n % ts
         left = jnp.pad(left, ((0, pad), (0, 0)))
         right = jnp.pad(right, ((0, pad), (0, 0)))
-        color_tables = jnp.pad(color_tables, ((0, pad), (0, 0)))
+        tables = [jnp.pad(t, ((0, pad), (0, 0))) for t in tables]
     n_pad = left.shape[0]
     th = block_cols
 
@@ -508,13 +610,14 @@ def colormap_planes_banded(
         if h_seg % th:
             mat_seg = jnp.pad(mat_seg, ((0, 0), (0, th - h_seg % th)))
         h_pad = mat_seg.shape[1]
-        kernel = functools.partial(
-            _builtin_kernel,
-            min_db=cfg.min_db,
-            max_db=cfg.max_db,
-            db_eps=cfg.db_epsilon,
-            res=res,
-            precision=precision,
+        kernel, seg_tables, res = _tables_kernel_and_operands(
+            tables if len(tables) > 1 else tables[0],
+            kw=dict(
+                min_db=cfg.min_db,
+                max_db=cfg.max_db,
+                db_eps=cfg.db_epsilon,
+                precision=precision,
+            ),
             subtile=_subtile_for(th),
         )
         # Element-offset DMA straight out of the full planes (zero slice
@@ -542,6 +645,11 @@ def colormap_planes_banded(
                 (ts, band), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             )
             plane_l, plane_r = left[:, lo:hi], right[:, lo:hi]
+        table_specs = [
+            pl.BlockSpec((ts, res * 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in seg_tables
+        ]
         out = pl.pallas_call(
             kernel,
             grid=(n_pad // ts, h_pad // th),
@@ -550,9 +658,7 @@ def colormap_planes_banded(
                 plane_spec,
                 pl.BlockSpec((band, th), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((ts, res * 4), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            ] + table_specs,
             out_specs=pl.BlockSpec(
                 (ts, th), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
@@ -565,25 +671,78 @@ def colormap_planes_banded(
                 transcendentals=n_pad * h_pad,
             ),
             interpret=interpret,
-        )(plane_l, plane_r, mat_seg, color_tables)
+        )(plane_l, plane_r, mat_seg, *seg_tables)
         outs.append(out[:, :h_seg])
     return jnp.concatenate(outs, axis=1)[:n]
 
 
-def builtin_color_tables(resolution: int = 32) -> "np.ndarray":
+def _builtin_table_row(
+    u: "np.ndarray", v: "np.ndarray", resolution: int
+) -> "np.ndarray | None":
+    """If factored tables (U, V) match the built-in mono/stereo structure
+    (mono: rgb = U(mag), alpha = 1; stereo: rgb = V(pan), alpha = mag ramp —
+    the shape `_builtin_kernel` hardcodes), return its [R*4] table row (rgb
+    cols + stereo flag in col 3); else None (use the generic kernel).
+
+    Detection is STRUCTURAL, so user-defined `FactoredScheme`s that happen
+    to fit still take the halved-work specialized kernel."""
+    ramp = (np.arange(resolution) / (resolution - 1)).astype(np.float32)
+    mono = bool(np.all(v == 1.0) and np.all(u[:, 3] == 1.0))
+    stereo = bool(
+        np.all(u[:, :3] == 1.0)
+        and np.all(v[:, 3] == 1.0)
+        and np.array_equal(u[:, 3].astype(np.float32), ramp)
+    )
+    if not (mono or stereo):
+        return None
+    row = np.zeros(resolution * 4, np.float32)
+    rgb = u[:, :3] if mono else v[:, :3]
+    for t in range(resolution):
+        row[t * 4 : t * 4 + 3] = rgb[t]
+    row[3] = 0.0 if mono else 1.0
+    return row
+
+
+def builtin_color_tables(resolution: int = 32, schemes=None) -> "np.ndarray":
     """[P, R*4] per-palette tables for colormap_rows_builtin: cols t*4+c hold
     the rgb table (mono: mag-axis gradient, stereo: reversed pan-axis
-    gradient, both /256 like the 2D LUT); col 3 is the stereo flag."""
+    gradient, both /256 like the 2D LUT); col 3 is the stereo flag.
+
+    Raises ValueError if any scheme does not fit the built-in structure —
+    callers should fall back to the generic two-table kernel
+    (`generic_color_tables` + tuple-table `colormap_planes_*`)."""
     from spectrogram_tpu.color.colorscheme import DEFAULT_COLOR_SCHEMES
 
-    tables = np.zeros((len(DEFAULT_COLOR_SCHEMES), resolution * 4), np.float32)
-    for p, scheme in enumerate(DEFAULT_COLOR_SCHEMES):
+    schemes = DEFAULT_COLOR_SCHEMES if schemes is None else schemes
+    tables = np.zeros((len(schemes), resolution * 4), np.float32)
+    for p, scheme in enumerate(schemes):
         u, v = scheme.factored_tables(resolution)
-        rgb = v[:, :3] if scheme.is_stereo else u[:, :3]
-        for t in range(resolution):
-            tables[p, t * 4 : t * 4 + 3] = rgb[t]
-        tables[p, 3] = 1.0 if scheme.is_stereo else 0.0
+        row = _builtin_table_row(
+            np.asarray(u, np.float32), np.asarray(v, np.float32), resolution
+        )
+        if row is None:
+            raise ValueError(
+                f"scheme {getattr(scheme, 'name', p)!r} does not fit the "
+                f"built-in mono/stereo LUT structure; use the generic tables"
+            )
+        tables[p] = row
     return tables
+
+
+def generic_color_tables(
+    resolution: int = 32, schemes=None
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """(U, V) each [P, R*4] flattened rank-1 factors (cols t*4+c) for the
+    generic two-table kernels — serves ANY separable palette, including
+    user `FactoredScheme`s the built-in kernel cannot express."""
+    from spectrogram_tpu.color.colorscheme import stacked_factored_tables
+
+    u, v = stacked_factored_tables(resolution, schemes)
+    p = u.shape[0]
+    return (
+        u.reshape(p, resolution * 4).astype(np.float32),
+        v.reshape(p, resolution * 4).astype(np.float32),
+    )
 
 
 def unpack_rgba(packed) -> "np.ndarray":
