@@ -5,7 +5,8 @@ prints per-op device time — the authoritative breakdown (per-call host
 timings are fiction through the relay; see CLAUDE.md).
 
 Usage: python benchmarks/profile_push.py [streams] [precision] [backend]
-Env:   PROFILE_SCAN_LEN (default 20)
+Env:   PROFILE_SCAN_LEN (default 20); PROFILE_PLANAR=1 feeds channels-planar
+       [S, 2, T] chunks (push_planar_impl, the production wire format).
 """
 
 import gzip
@@ -95,13 +96,15 @@ def main():
         flush=True,
     )
     rng = np.random.default_rng(0)
-    chunk = jnp.asarray(
-        rng.standard_normal((n_streams, pipeline.chunk_size, 2)).astype(np.float32)
-        * 0.1
-    )
+    planar = os.environ.get("PROFILE_PLANAR", "0") == "1"
+    pcm = rng.standard_normal(
+        (n_streams, 2, pipeline.chunk_size)
+    ).astype(np.float32) * 0.1
+    chunk = jnp.asarray(pcm if planar else pcm.transpose(0, 2, 1).copy())
+    push = pipeline.push_planar_impl if planar else pipeline.push_impl
     state = pipeline.init_state(n_streams)
-    log_dir = f"/tmp/sg_trace_{n_streams}_{precision}"
-    trace_scan(pipeline.push_impl, state, chunk, scan_len, log_dir)
+    log_dir = f"/tmp/sg_trace_{n_streams}_{precision}" + ("_pl" if planar else "")
+    trace_scan(push, state, chunk, scan_len, log_dir)
     op_total, op_count = parse_trace(log_dir, scan_len)
 
     total = sum(op_total.values())

@@ -89,6 +89,7 @@ class SpectrogramPipeline:
         kernel_interpret: bool = False,
         autotune: bool = False,
         sanitize_input: bool = False,
+        schemes=None,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -101,11 +102,23 @@ class SpectrogramPipeline:
         # does not fit HBM (SURVEY.md §6); rows are emitted to the consumer
         # instead of retained. store_ring=False keeps a zero-length ring.
         self.store_ring = bool(store_ring)
+        # schemes: the palette registry for this pipeline.  Defaults to the
+        # 19 built-ins (colorscheme.rs:125-151) but accepts ANY sequence of
+        # ColorScheme / FactoredScheme — the analog of the reference's
+        # public ColorScheme constructors + arbitrary-LUT upload
+        # (colorscheme.rs:24-39, gpu_spectrogram.rs:232-239).  palette ids
+        # index THIS list.
+        from spectrogram_tpu.color.colorscheme import DEFAULT_COLOR_SCHEMES
+
+        self.schemes = tuple(schemes) if schemes is not None else DEFAULT_COLOR_SCHEMES
+        self.scheme_names = tuple(s.name for s in self.schemes)
         res = lut_resolution or cfg.lut_resolution
-        u, v = stacked_factored_tables(res)
+        u, v = stacked_factored_tables(res, self.schemes)
         self.lut_u = jnp.asarray(u)                                     # [P,r,4]
         self.lut_v = jnp.asarray(v)                                     # [P,r,4]
-        self.backgrounds = jnp.asarray(stacked_backgrounds())           # [P,3] u8
+        self.backgrounds = jnp.asarray(
+            stacked_backgrounds(self.schemes)
+        )                                                               # [P,3] u8
         self.chunk_size = self.chunk_hops * cfg.hop_size
         self.carry_size = stft_ops.carry_size(cfg)
         # STFT backend: "mxu" = four-step matmul FFT (ops/mxu_fft.py, the
@@ -210,7 +223,20 @@ class SpectrogramPipeline:
         # TPU-friendly wire format (no minor-dim-4 u8 layout); unpack on host
         # with arr.view(np.uint8).reshape(..., 4).
         self.packed_output = bool(packed_output)
-        self.builtin_tables = jnp.asarray(cmap_kernel.builtin_color_tables(res))
+        # Kernel table format: schemes fitting the built-in mono/stereo LUT
+        # structure share the specialized (halved-LUT-work) kernel; any
+        # other factored scheme routes the WHOLE registry through the
+        # generic two-table kernel (mixing kernels per row would need a
+        # gather).  Detection is structural — see _builtin_table_row.
+        try:
+            self.builtin_tables = jnp.asarray(
+                cmap_kernel.builtin_color_tables(res, self.schemes)
+            )
+            self.generic_tables = None
+        except ValueError:
+            self.builtin_tables = None
+            gu, gv = cmap_kernel.generic_color_tables(res, self.schemes)
+            self.generic_tables = (jnp.asarray(gu), jnp.asarray(gv))
         # precision_profile: "exact" pins true-f32 matmuls everywhere (the
         # parity contract vs the reference's f32 pipeline).  "fast" relaxes
         # ONLY the colormap resample matmul to the MXU's native bf16 passes:
@@ -306,10 +332,26 @@ class SpectrogramPipeline:
         k = self.chunk_hops
         if self.sanitize_input:
             chunk_pl = jnp.where(jnp.isfinite(chunk_pl), chunk_pl, 0.0)
+        if self.fused_chain:
+            # Split-channel framing: per-channel 2D sample planes.  The
+            # strided channel reads fuse into the concat copies; at k=1 the
+            # planes ARE the kernel's window operands — the [S, W]-per-
+            # channel extraction copies of the 3D-buf formulation (1.2 ms
+            # at 10,240 streams, profiler-measured round 2) never exist.
+            c = self.carry_size
+            buf_l = jnp.concatenate(
+                [state.carry[:, 0, :], chunk_pl[:, 0, :]], axis=1
+            )                                                  # [S, C+T]
+            buf_r = jnp.concatenate(
+                [state.carry[:, 1, :], chunk_pl[:, 1, :]], axis=1
+            )
+            tlen = buf_l.shape[1]
+            new_carry = jnp.stack(
+                [buf_l[:, tlen - c:], buf_r[:, tlen - c:]], axis=1
+            )
+            return self._push_fused(state, buf_l, buf_r, new_carry)
         buf = jnp.concatenate([state.carry, chunk_pl], axis=2)    # [S, 2, C+T]
         new_carry = buf[:, :, buf.shape[2] - self.carry_size :]
-        if self.fused_chain:
-            return self._push_fused(state, buf, new_carry)
         rows = self._stft_planar_buf(buf)  # [S, k, 2, B] f32
 
         if self.store_ring:
@@ -332,30 +374,31 @@ class SpectrogramPipeline:
         )
         return new_state, rgba_u8
 
-    def _push_fused(self, state: StreamState, buf: jax.Array, new_carry):
+    def _push_fused(self, state: StreamState, buf_l: jax.Array,
+                    buf_r: jax.Array, new_carry):
         """Fully-kernelized push: fused Pallas STFT -> fused Pallas colormap
-        with a full-half-spectrum handoff (no bin-slice pass)."""
+        with a full-half-spectrum handoff (no bin-slice pass).  Operands are
+        per-channel [S, W + (k-1)*hop] sample planes (split-channel framing)."""
         from spectrogram_tpu.ops.pallas import stft_kernel
 
         cfg = self.cfg
         k = self.chunk_hops
-        s = buf.shape[0]
+        s = buf_l.shape[0]
         w, h = cfg.window_size, cfg.hop_size
         if k > 1 and stft_kernel.buf_framing_supported(cfg, k, self.fft_plan):
             # Zero-copy framing: the kernel DMAs each hop-shifted window out
-            # of the planar buffer via element-offset BlockSpecs — avoids
-            # materializing k overlapping [S, W] window planes (measured a
-            # wash at k=1, a clear win at k>1 where the copies multiply).
+            # of the channel planes via element-offset BlockSpecs — avoids
+            # materializing k overlapping [S, W] window planes.
             mag_l, mag_r = stft_kernel.stft_mag_fused2_buf(
-                buf, cfg, k=k, precision=self.precision_stft,
+                buf_l, buf_r, cfg, k=k, precision=self.precision_stft,
                 interpret=self.kernel_interpret, plan=self.fft_plan,
                 block_rows=self.stft_block_rows,
             )  # [S*k, N/2] incl DC, window r of stream s at row r*S + s
         else:
-            # window planes [S*k, W] per channel (static slice framing; XLA
-            # fuses the concat+slice into one copy per plane)
-            lefts = [buf[:, 0, r * h : r * h + w] for r in range(k)]
-            rights = [buf[:, 1, r * h : r * h + w] for r in range(k)]
+            # window planes [S*k, W] per channel; at k=1 the channel planes
+            # ARE the windows — no copy at all (round-3 framing win).
+            lefts = [buf_l[:, r * h : r * h + w] for r in range(k)]
+            rights = [buf_r[:, r * h : r * h + w] for r in range(k)]
             left = jnp.concatenate(lefts, axis=0) if k > 1 else lefts[0]
             right = jnp.concatenate(rights, axis=0) if k > 1 else rights[0]
             # NOTE row order for k>1 is [r0 streams.., r1 streams..]; remapped below.
@@ -365,9 +408,7 @@ class SpectrogramPipeline:
                 interpret=self.kernel_interpret, plan=self.fft_plan,
                 block_rows=self.stft_block_rows,
             )  # [S*k, N/2] incl DC
-        tabs = self.builtin_tables[state.palette_id]          # [S, R*4]
-        if k > 1:
-            tabs = jnp.tile(tabs, (k, 1))
+        tabs = self._kernel_tables(state.palette_id, k, order="tile")
         if self.cmap_segments_full is not None:
             packed = cmap_kernel.colormap_planes_banded(
                 mag_l, mag_r, tabs, self.resample_t_full, cfg,
@@ -407,6 +448,22 @@ class SpectrogramPipeline:
         out = packed if self.packed_output else _unpack_rgba_device(packed)
         return new_state, out
 
+    def _kernel_tables(self, palette_id: jax.Array, k: int, order: str):
+        """Per-row colormap-kernel table operand(s) for `palette_id` [N]:
+        a single [N*k, R*4] array (built-in registry) or a (u, v) tuple
+        (generic two-table kernel).  `order` matches the caller's row
+        layout for k > 1: "tile" = window-major ([r0 streams.., r1 ..],
+        the fused chain), "repeat" = stream-major (reshape(s*k) layouts)."""
+        def expand(t):
+            if k == 1:
+                return t
+            return jnp.tile(t, (k, 1)) if order == "tile" else jnp.repeat(t, k, axis=0)
+
+        if self.builtin_tables is not None:
+            return expand(self.builtin_tables[palette_id])
+        u, v = self.generic_tables
+        return (expand(u[palette_id]), expand(v[palette_id]))
+
     def _stft(self, pcm: jax.Array) -> jax.Array:
         """[S, T, 2] interleaved PCM -> [S, rows, 2, bins] planar rows."""
         if self.fft_plan is not None:
@@ -433,7 +490,7 @@ class SpectrogramPipeline:
         s, k = rows.shape[0], rows.shape[1]
         if self.colormap_backend == "pallas":
             flat = rows.reshape(s * k, 2, rows.shape[3])
-            tabs = jnp.repeat(self.builtin_tables[palette_id], k, axis=0)
+            tabs = self._kernel_tables(palette_id, k, order="repeat")
             if self.cmap_segments is not None:
                 packed = cmap_kernel.colormap_planes_banded(
                     flat[:, 0, :], flat[:, 1, :], tabs, self.resample_t,

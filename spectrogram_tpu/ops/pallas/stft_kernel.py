@@ -118,22 +118,6 @@ def _fft_channel(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
     )
 
 
-def _kernel2_buf(
-    bufl_ref, bufr_ref, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
-    out_l_ref, out_r_ref,
-    *, plan, precision,
-):
-    """Buffer-window variant: each ref is an Element-indexed [TS, 1, m, n1]
-    window straight out of the planar sample buffer (no framing copies)."""
-    ts, _, m, n1 = bufl_ref.shape
-    _fft_channel(bufl_ref[:].reshape(ts, m, n1), hann_ref, f2cat_ref,
-                 twcat_ref, f1blk_ref, out_l_ref, plan=plan,
-                 precision=precision)
-    _fft_channel(bufr_ref[:].reshape(ts, m, n1), hann_ref, f2cat_ref,
-                 twcat_ref, f1blk_ref, out_r_ref, plan=plan,
-                 precision=precision)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -252,7 +236,8 @@ def buf_framing_supported(cfg: SpectrogramConfig, k: int = 1,
     static_argnames=("cfg", "k", "block_rows", "precision", "interpret", "plan"),
 )
 def stft_mag_fused2_buf(
-    buf: jax.Array,    # [N, 2, W + (k-1)*hop] f32 planar sample buffer
+    buf_l: jax.Array,  # [N, W + (k-1)*hop] f32 sample buffer, left channel
+    buf_r: jax.Array,  # [N, W + (k-1)*hop] f32, right channel
     cfg: SpectrogramConfig,
     k: int = 1,
     block_rows: int = 32,
@@ -260,10 +245,15 @@ def stft_mag_fused2_buf(
     interpret: bool = False,
     plan: FftPlan | None = None,
 ):
-    """Fused STFT straight off the planar carry+chunk buffer: the k
+    """Fused STFT straight off per-channel carry+chunk sample planes: the k
     hop-shifted windows per stream are extracted by Element-indexed
     BlockSpecs (DMA offsets), eliminating the per-window slice copies the
-    plane-input entry point forces (~0.4 ms/push at 4096 streams).
+    plane-input entry point forces.
+
+    Round-3 change: operands are split per channel (2D [N, tlen] planes
+    built by the pipeline's split-channel framing) instead of the 3D
+    [N, 2, tlen] planar buffer — the channel-axis DMA stride that made this
+    path a wash at k=1 in round 2 (DESIGN.md kernel ledger) is gone.
 
     Returns (magL, magR) each [k*N, N_fft/2] (DC included), window r of
     stream s at row r*N + s — the fused chain's native row order.
@@ -276,15 +266,19 @@ def stft_mag_fused2_buf(
             f"buffer framing unsupported for {cfg} k={k} (plan={plan})"
         )
     w, h = cfg.window_size, cfg.hop_size
-    n, two, tlen = buf.shape
-    assert two == 2 and tlen == w + (k - 1) * h, (buf.shape, w, h, k)
+    n, tlen = buf_l.shape
+    assert buf_r.shape == buf_l.shape and tlen == w + (k - 1) * h, (
+        buf_l.shape, buf_r.shape, w, h, k)
     n1, n2, m = plan.n1, plan.n2, plan.m
     half = (n1 // 2) * n2
     ts = min(block_rows, n) if n % block_rows else block_rows
     if n % ts:
-        buf = jnp.pad(buf, ((0, ts - n % ts), (0, 0), (0, 0)))
-    n_pad = buf.shape[0]
-    buf4 = buf.reshape(n_pad, 2, tlen // n1, n1)  # free view
+        pad = ((0, ts - n % ts), (0, 0))
+        buf_l = jnp.pad(buf_l, pad)
+        buf_r = jnp.pad(buf_r, pad)
+    n_pad = buf_l.shape[0]
+    buf_l3 = buf_l.reshape(n_pad, tlen // n1, n1)  # free view
+    buf_r3 = buf_r.reshape(n_pad, tlen // n1, n1)
     hop_rows = h // n1
 
     hann2 = _scaled_hann(w, m, n1)
@@ -298,21 +292,20 @@ def stft_mag_fused2_buf(
             arr.shape, lambda r, i: (0,) * arr.ndim, memory_space=pltpu.VMEM
         )
 
-    def window_spec(channel):
-        return pl.BlockSpec(
-            (pl.Element(ts), pl.Element(1), pl.Element(m), pl.Element(n1)),
-            lambda r, i, c=channel: (i * ts, c, r * hop_rows, 0),
-            memory_space=pltpu.VMEM,
-        )
+    window_spec = pl.BlockSpec(
+        (pl.Element(ts), pl.Element(m), pl.Element(n1)),
+        lambda r, i: (i * ts, r * hop_rows, 0),
+        memory_space=pltpu.VMEM,
+    )
 
-    kernel = functools.partial(_kernel2_buf, plan=plan, precision=precision)
+    kernel = functools.partial(_kernel2, plan=plan, precision=precision)
     blocks_per_k = n_pad // ts
     mag_l, mag_r = pl.pallas_call(
         kernel,
         grid=(k, blocks_per_k),
         in_specs=[
-            window_spec(0),
-            window_spec(1),
+            window_spec,
+            window_spec,
             const_spec(hann2),
             const_spec(f2cat),
             const_spec(twcat),
@@ -340,8 +333,8 @@ def stft_mag_fused2_buf(
             transcendentals=2 * k * n_pad * half,
         ),
         interpret=interpret,
-    )(buf4, buf4, jnp.asarray(hann2), jnp.asarray(f2cat), jnp.asarray(twcat),
-      jnp.asarray(f1blk))
+    )(buf_l3, buf_r3, jnp.asarray(hann2), jnp.asarray(f2cat),
+      jnp.asarray(twcat), jnp.asarray(f1blk))
     if n_pad != n:
         # un-pad per window block: [k, n_pad, ...] -> [k, n, ...] -> flat
         mag_l = mag_l.reshape(k, n_pad, half)[:, :n].reshape(k * n, half)

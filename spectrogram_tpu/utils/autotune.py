@@ -43,7 +43,7 @@ DEFAULT_BLOCK_ROWS = (16, 32)
 # Bump when the fused STFT kernel changes materially: cached rankings were
 # measured against a specific kernel formulation (FFTW re-plans when its
 # codelets change, for the same reason).
-_TUNER_VERSION = 3
+_TUNER_VERSION = 4  # v4: split-channel framing changed the measured graph
 
 
 def _cache_key(cfg: SpectrogramConfig, device_kind: str,

@@ -71,7 +71,8 @@ def test_buf_framing_matches_plane_path(rng):
     w, h = cfg.window_size, cfg.hop_size
     buf = (rng.standard_normal((n, 2, w + (k - 1) * h)) * 0.3).astype(np.float32)
     ml, mr = stft_kernel.stft_mag_fused2_buf(
-        jnp.asarray(buf), cfg, k=k, block_rows=4, interpret=True)
+        jnp.asarray(buf[:, 0]), jnp.asarray(buf[:, 1]), cfg, k=k,
+        block_rows=4, interpret=True)
     lefts = np.concatenate([buf[:, 0, r * h : r * h + w] for r in range(k)])
     rights = np.concatenate([buf[:, 1, r * h : r * h + w] for r in range(k)])
     rl, rr = stft_kernel.stft_mag_fused2(
