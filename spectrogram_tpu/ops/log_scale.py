@@ -39,9 +39,17 @@ class LogScale:
 
     def key_points(self, max_points: int = 12) -> list[float]:
         """Tick values: powers of `base` within range, with evenly-multiplied
-        light subdivisions when the budget allows (log_scaling.rs:53-107
-        behavior, simplified to the sane core: bold decades + 10^k-spaced
-        light ticks)."""
+        light subdivisions when the budget allows (log_scaling.rs:53-107).
+
+        Includes the reference's tick-budget escalation: when `max_points`
+        cannot fit every power of base, decades are SKIPPED by stepping
+        `multiplier = base**cnt` with the smallest cnt satisfying
+        bold_count // cnt <= max_points (the `multiplier`/`cnt` loop,
+        log_scaling.rs:78-83), and the light-subdivision spacing scales with
+        the escalated multiplier (:94-95).  Guarantees len(ticks) <=
+        max_points + 1 in the escalation regime (the reference's own bound:
+        the loop exits on integer division, so the boundary decade can add
+        one extra)."""
         start, end = self.min_value, self.max_value
         base_ln = math.log(self.base)
         bold_count = max(int(abs(math.log(end / start)) / base_ln), 1)
@@ -54,20 +62,30 @@ class LogScale:
                 exp *= 10
             light_density = exp - 1
 
+        # Escalation: step several decades at a time when the budget is
+        # smaller than the decade count (log_scaling.rs:78-83).
+        multiplier = self.base
+        cnt = 1
+        while max_points < bold_count // cnt:
+            multiplier *= self.base
+            cnt += 1
+
         ticks: list[float] = []
         val = self.base ** math.ceil(math.log(start) / base_ln)
         while val <= end:
             ticks.append(val)
             for i in range(1, light_density + 1):
-                v = val * (1.0 + self.base / (light_density + 1) * i)
+                v = val * (1.0 + multiplier / (light_density + 1) * i)
                 if v > end:
                     break
                 # the last subdivision can land exactly on the next bold tick
-                # (val*(1 + base*ld/(ld+1)) == val*base when ld+1 | base*ld);
+                # (val*(1 + mult*ld/(ld+1)) == val*mult when ld+1 | mult*ld);
                 # skip duplicates rather than double-labeling a pixel
-                if v < val * self.base:
+                # (deviation from the reference, which double-emits: D-ticks
+                # in DESIGN.md)
+                if v < val * multiplier:
                     ticks.append(v)
-            val *= self.base
+            val *= multiplier
         return ticks
 
     def labeled_ticks(self, max_points: int = 12) -> list[tuple[float, str]]:

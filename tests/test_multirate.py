@@ -130,6 +130,42 @@ def test_log_scale_ticks_no_duplicates():
     assert len(ticks) == len(set(ticks))
 
 
+def test_log_scale_tick_budget_escalation():
+    """VERDICT r2 item 7: the reference skips whole decades when the budget
+    is under the decade count (the multiplier/cnt loop, log_scaling.rs:78-83,
+    103) — a 12-decade range at max_points=5 must step by 1000x, not emit
+    every power.
+    """
+    sc = LogScale(1.0, 2e12, 100, base=10.0)
+    ticks = sc.key_points(max_points=5)
+    # bold_count=12; cnt=3 is the smallest with 12//cnt <= 5 -> multiplier 1e3
+    assert ticks == pytest.approx([1.0, 1e3, 1e6, 1e9, 1e12])
+
+
+def test_log_scale_tick_budget_property():
+    """Escalation-regime bound across random (range, base, budget) draws:
+    when max_points < bold_count the emitted count respects the budget (the
+    reference's own guarantee is max_points + 1: its escalation loop exits on
+    integer division, so the boundary decade can add one tick)."""
+    import math
+    import random
+
+    rnd = random.Random(1234)
+    for _ in range(200):
+        base = rnd.choice([2.0, 10.0, math.e, 3.0])
+        lo = 10.0 ** rnd.uniform(-3, 2)
+        hi = lo * base ** rnd.uniform(1.5, 40.0)
+        budget = rnd.randint(1, 30)
+        sc = LogScale(lo, hi, 100, base=base)
+        bold_count = max(int(abs(math.log(hi / lo)) / math.log(base)), 1)
+        ticks = sc.key_points(budget)
+        assert all(lo <= t <= hi * (1 + 1e-12) for t in ticks)
+        assert ticks == sorted(ticks)
+        if budget < bold_count:
+            # escalation regime: light_density is 0, decades are skipped
+            assert len(ticks) <= budget + 1, (lo, hi, base, budget, ticks)
+
+
 def test_multirate_ingest_end_to_end(rng):
     """VERDICT r1 item 5: multirate wired to ingest — three geometries with
     different hop cadences, each group advancing at its own rate from its own
