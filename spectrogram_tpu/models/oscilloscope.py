@@ -87,16 +87,24 @@ class Oscilloscope:
         self, envelopes: jax.Array, height: int, scheme: ColorScheme
     ) -> np.ndarray:
         """Host-side raster of one stream's envelope [width, 2, 2] ->
-        [height, width, 3] u8 image (demo/debug; the product is `envelope`)."""
+        [height, width, 3] u8 image — the live-view analog of the reference's
+        two GL line strips (oscilloscope.rs:169-257): each pixel column fills
+        [min, max] per channel in the palette-extreme line colors.
+
+        Vectorized (one boolean mask per channel); right channel drawn last,
+        matching the reference's draw order (:251-256)."""
         env = np.asarray(envelopes)
         width = env.shape[0]
         bg = np.asarray(scheme.background_color(), np.uint8)
         img = np.broadcast_to(bg, (height, width, 3)).copy()
         colors = self.line_colors(scheme)
+        ys = np.arange(height)[:, None]  # [height, 1] vs per-column [1, width]
         for ch in range(2):
-            lo = np.clip(((1.0 - env[:, ch, 1]) * 0.5 * (height - 1)), 0, height - 1)
-            hi = np.clip(((1.0 - env[:, ch, 0]) * 0.5 * (height - 1)), 0, height - 1)
-            for x in range(width):
-                y0, y1 = int(lo[x]), int(hi[x])
-                img[y0 : y1 + 1, x] = colors[ch]
+            lo = np.clip(
+                (1.0 - env[:, ch, 1]) * 0.5 * (height - 1), 0, height - 1
+            ).astype(int)
+            hi = np.clip(
+                (1.0 - env[:, ch, 0]) * 0.5 * (height - 1), 0, height - 1
+            ).astype(int)
+            img[(ys >= lo[None, :]) & (ys <= hi[None, :])] = colors[ch]
         return img

@@ -65,3 +65,22 @@ class SpectrumAnalyzer:
 
         levels, _ = jax.lax.scan(step, levels, new_vals)
         return levels
+
+    @staticmethod
+    def rasterize_levels(levels, height: int, scheme) -> "np.ndarray":
+        """Host-side raster of one stream's levels [bands] -> [height, bands,
+        3] u8 bar image — the live-view analog of the reference's LevelBar
+        column (spectrum_analyzer.rs:48-69, 88-99): one vertical bar per band
+        rising from the bottom, colored by the scheme's foreground (GTK
+        LevelBar chrome has no TPU analog; the bar geometry is the parity
+        surface).  Vectorized (one mask over the [height, bands] grid)."""
+        import numpy as np
+
+        lv = np.clip(np.asarray(levels, np.float32), 0.0, 1.0)
+        bands = lv.shape[0]
+        bg = np.asarray(scheme.background_color(), np.uint8)
+        fg = np.asarray(scheme.foreground_color(), np.uint8)
+        img = np.broadcast_to(bg, (height, bands, 3)).copy()
+        ys = np.arange(height)[:, None]  # row 0 = top
+        img[ys >= ((1.0 - lv[None, :]) * height)] = fg
+        return img
