@@ -24,6 +24,52 @@ from spectrogram_tpu.models.spectrogram import SpectrogramPipeline, StreamState
 from spectrogram_tpu.utils.probe import ThroughputProbe
 
 
+class ChunkPool:
+    """Rotating pool of preallocated host chunk buffers.
+
+    The copy-free drain pattern at scale (a 10,240-stream planar chunk is
+    ~65 MB; a defensive copy per push would burn most of the hop budget on
+    the host):
+
+        pool = ChunkPool.for_feeder(feeder, bank.n_streams)
+        buf = pool.next()
+        bank.pop_matrix_f32_planar(n, out=buf)   # drain INTO the pool slot
+        feeder.push(buf)                          # zero further host copies
+
+    Safety contract: with `n_buffers >= depth + 1`, by the time a slot is
+    handed out again the push that used it has been FORCED (the feeder
+    drains push i while admitting push i+depth-1), so its H2D transfer is
+    complete — the async backend can no longer be reading the buffer when
+    the bank overwrites it.  One extra slot beyond the proof's minimum
+    (depth) guards the fill-while-enqueued window.
+    """
+
+    def __init__(self, n_buffers: int, shape: tuple, dtype=np.float32):
+        if n_buffers < 2:
+            raise ValueError("a rotation pool needs >= 2 buffers")
+        self._bufs = [np.zeros(shape, dtype) for _ in range(n_buffers)]
+        self._i = 0
+
+    @classmethod
+    def for_feeder(
+        cls, feeder: "DeviceFeeder", n_streams: int
+    ) -> "ChunkPool":
+        """Pool sized depth+1 with the feeder's chunk geometry ([S, 2, n]
+        planar or [S, n, 2] interleaved)."""
+        n = feeder.pipeline.chunk_size
+        shape = (n_streams, 2, n) if feeder.planar else (n_streams, n, 2)
+        return cls(feeder.depth + 1, shape)
+
+    def next(self) -> np.ndarray:
+        """Hand out the next buffer in rotation (caller fills then pushes)."""
+        buf = self._bufs[self._i]
+        self._i = (self._i + 1) % len(self._bufs)
+        return buf
+
+    def __len__(self) -> int:
+        return len(self._bufs)
+
+
 class DeviceFeeder:
     """Pipelined push loop over a host chunk source.
 
@@ -41,6 +87,7 @@ class DeviceFeeder:
         on_rows: Optional[Callable[[np.ndarray], None]] = None,
         planar: bool = False,
         readback: str = "full",
+        copy_chunks: bool = True,
     ):
         if depth < 1:
             raise ValueError("depth must be >= 1")
@@ -59,9 +106,11 @@ class DeviceFeeder:
         # or for dev harnesses whose D2H path is orders of magnitude slower
         # than a production host's PCIe.
         self.readback = readback
-        # copy_chunks=False only if the caller rotates >= depth+1 host
-        # buffers (see push()).
-        self.copy_chunks = True
+        # copy_chunks=False is safe ONLY when the caller rotates >= depth+1
+        # host buffers — use ChunkPool.for_feeder (see its safety contract).
+        # The default pays one defensive host copy per push, which at 10k
+        # streams is ~65 MB/push: production serve loops should rotate.
+        self.copy_chunks = bool(copy_chunks)
         self.probe = ThroughputProbe()
         self._inflight: collections.deque = collections.deque()
 
@@ -86,7 +135,7 @@ class DeviceFeeder:
         # pop_matrix pattern) would overwrite it mid-transfer.  A defensive
         # host copy is cheap relative to the push; callers that rotate
         # >= depth+1 buffers can pass copy=False via the attribute.
-        if getattr(self, "copy_chunks", True) and isinstance(chunk, np.ndarray):
+        if self.copy_chunks and isinstance(chunk, np.ndarray):
             chunk = chunk.copy()
         if self.planar:
             self.state, rgba = self.pipeline.push_planar(

@@ -36,7 +36,7 @@ class StreamGroup:
     stream_ids: list[int]
     bank: object = None          # io.ring.RingBank16 (ingest mode)
     feeder: object = None        # io.feeder.DeviceFeeder (ingest mode)
-    pinned: object = None        # reusable planar drain buffer
+    pinned: object = None        # io.feeder.ChunkPool (rotating drain buffers)
     next_due: float = 0.0        # next hop-tick deadline (group clock)
 
     @property
@@ -92,17 +92,19 @@ class StreamGroupManager:
             state = pipeline.init_state(self.group_capacity, palette_id=palette_id)
             group = StreamGroup(cfg, pipeline, state, [])
             if self.ingest:
-                import numpy as np_
-
-                from spectrogram_tpu.io.feeder import DeviceFeeder
+                from spectrogram_tpu.io.feeder import ChunkPool, DeviceFeeder
                 from spectrogram_tpu.io.ring import RingBank16
 
                 group.bank = RingBank16(self.group_capacity, self.ring_capacity)
+                # copy-free drain: the bank pops into a rotating depth+1
+                # buffer pool, so the feeder never pays the defensive
+                # per-push host copy (ChunkPool safety contract)
                 group.feeder = DeviceFeeder(
-                    pipeline, state, depth=self.feeder_depth, planar=True
+                    pipeline, state, depth=self.feeder_depth, planar=True,
+                    copy_chunks=False,
                 )
-                group.pinned = np_.empty(
-                    (self.group_capacity, 2, pipeline.chunk_size), np_.float32
+                group.pinned = ChunkPool.for_feeder(
+                    group.feeder, self.group_capacity
                 )
             self._groups[cfg] = group
         # Reuse a tombstoned slot before growing (long-running services churn
@@ -210,8 +212,9 @@ class StreamGroupManager:
                 group.next_due = now
             if now < group.next_due:
                 continue
+            buf = group.pinned.next()
             chunk, _counts = group.bank.pop_matrix_f32_planar(
-                group.pipeline.chunk_size, group.pinned
+                group.pipeline.chunk_size, buf
             )
             done = group.feeder.push(chunk)
             group.state = group.feeder.state

@@ -204,3 +204,47 @@ def test_device_feeder_probe_readback(rng):
     import pytest
     with pytest.raises(ValueError, match="readback"):
         DeviceFeeder(p, p.init_state(1), readback="none")
+
+
+def test_chunk_pool_rotation_copy_free(rng):
+    """VERDICT r2 item 8: a depth+1 rotating ChunkPool with copy_chunks=False
+    must produce byte-identical output to the defensive-copy path, even
+    though every buffer is overwritten in rotation (no mid-transfer
+    overwrite: the feeder forces push i before buffer i is reused)."""
+    import jax.numpy as jnp
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.io.feeder import ChunkPool, DeviceFeeder
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    cfg = SpectrogramConfig(
+        sample_rate=8000.0, window_period=0.032, hop_period=0.008,
+        viewport_height=64, viewport_rows=16,
+    )
+    p = SpectrogramPipeline(cfg, chunk_hops=2)
+    chunks = [
+        (rng.standard_normal((3, 2, p.chunk_size)) * 0.2).astype(np.float32)
+        for _ in range(7)
+    ]
+    ref_feeder = DeviceFeeder(p, p.init_state(3), depth=2, planar=True)
+    it = iter(chunks)
+    expected = list(ref_feeder.run(lambda: next(it, None)))
+
+    feeder = DeviceFeeder(
+        p, p.init_state(3), depth=2, planar=True, copy_chunks=False
+    )
+    pool = ChunkPool.for_feeder(feeder, 3)
+    assert len(pool) == feeder.depth + 1
+    got = []
+    for c in chunks:
+        buf = pool.next()
+        buf[:] = c                      # "drain" into the rotating slot
+        done = feeder.push(buf)
+        if done is not None:
+            got.append(done)
+    got.extend(feeder.flush())
+    assert len(got) == 7
+    for g, e in zip(got, expected):
+        np.testing.assert_array_equal(g, e)
+
+    with pytest.raises(ValueError):
+        ChunkPool(1, (2, 2))
