@@ -25,13 +25,13 @@ in exact arithmetic, with none of its reverse/unpack passes.
 Formulation history (negative results preserved in _kernel2's docstring):
 v1 batched dots (4x slower than XLA; deleted in round 2), v2 all-2D-dot
 with 4 swapaxes/channel (3.96 ms standalone at 4096 streams), v3
-middle-axis dot_general with no pre-dot transposes (3.30 ms), v3c/v3d
-(current): power before the output transpose + scale folded into Hann
-(2.86 ms).  Stage 2 as 4 separate dots (no concat) VMEM-OOMs (25 M).
-A k2-major permuted-output variant (skipping the final transposes) was
-tried and reverted: minor dim n1/2=16 pads 8x in (8,128) lane tiles.
-ts=32 blocks; 64 OOMs the default VMEM scope and a raised 96 MB limit
-measured no faster.
+middle-axis dot_general with no pre-dot transposes (3.30 ms), v3c/v3d:
+power before the output transpose + scale folded into Hann (2.86 ms),
+v4 (current): transposed window planes + flipped stage 2 (1.39 ms at
+ts=64; exp_stft_r3).  Stage 2 as 4 separate dots (no concat) VMEM-OOMs;
+2 accumulating dots measured -25% (exp_stft_nocat).  A k2-major
+permuted-output variant was tried and reverted: minor dim n1/2=16 pads
+8x in (8,128) lane tiles.
 """
 
 from __future__ import annotations
@@ -52,56 +52,65 @@ from spectrogram_tpu.ops.mxu_fft import FftPlan, make_plan
 def _kernel2(
     left_ref, right_ref, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
     out_l_ref, out_r_ref,
-    *, plan, precision,
+    *, plan, precision, transposed=False,
 ):
-    """Middle-axis dot_general variant (v3): both DFT stages contract the
-    MIDDLE axis of their 3D operand directly, so the classical four-step's
-    "transpose" steps vanish — Mosaic folds the operand orientation into the
-    MXU pass instead of materializing VPU shuffles.  Only the final
-    half-spectrum split keeps explicit swapaxes (the output wants k1-major).
+    """v4 kernel body (exp_stft_r3, 2.89 -> 1.39 ms standalone at 4096
+    rows): stage 2 contracts FLIPPED (constant first), and with
+    `transposed` inputs ([TS, n1, m]) stage 1 contracts the LAST axis.
 
     History: v1 batched dots were 4x slower than XLA (batch-TS small dots);
     v2 flattened (rows x n1) into the matmul M with 4 swapaxes/channel
-    (3.96 ms standalone at 4096 streams); v3 measured 3.30 ms — the
-    swapaxes, not the dots, were the cost (dots alone ~0.6 ms).
+    (3.96 ms standalone at 4096 streams); v3 middle-axis dot_general
+    (3.30 ms); v3c/d power-before-swap + scale-in-Hann (2.86 ms); v4
+    tw (transposed windows: m on lanes pads 1.7x instead of n1's 4x,
+    last-axis contraction; bitwise-equal, -12%) + dT (flipped stage 2:
+    Mosaic lowers the leading-axis output transpose cheaper than the
+    lane-dim swapaxes, ~2 ulp; -36%) = -52% combined.
     """
     def channel(x_ref, out_ref):
         _fft_channel(x_ref[:], hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
-                     out_ref, plan=plan, precision=precision)
+                     out_ref, plan=plan, precision=precision,
+                     transposed=transposed)
 
     channel(left_ref, out_l_ref)
     channel(right_ref, out_r_ref)
 
 
 def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
-                   *, plan, precision):
-    """One channel's four-step on a [TS, m, n1] window block; returns the
-    [TS, k1h, n2] magnitude value (flat bin k = k1*n2 + k2).
+                   *, plan, precision, transposed=False):
+    """One channel's four-step on a window block ([TS, n1, m] when
+    `transposed`, else [TS, m, n1]); returns the [TS, k1h, n2] magnitude
+    value (flat bin k = k1*n2 + k2).
 
     Expects the 2/W output scale PRE-FOLDED into the Hann constant (see
     _scaled_hann): an exact exponent shift for power-of-two windows, <=1 ulp
-    otherwise, and it deletes one full elementwise pass.  Power is computed
-    in the pre-swap [TS, n2, 2k1h] layout so ONE swapaxes replaces two
-    (bitwise identical; measured 3.02 -> 2.86 ms standalone at 4096 rows)."""
+    otherwise, and it deletes one full elementwise pass.  Stage 2 runs in
+    the FLIPPED orientation (dT): d = f1blk^T-contraction emits
+    [2k1h, TS, n2] and the output transpose is leading-axis (sublane
+    copies), which Mosaic lowers ~2x cheaper than the lane-dim swapaxes of
+    the [TS, n2, 2k1h] orientation (exp_stft_r3).  The two stage-1 layouts
+    are bitwise-identical; dT moves bits by ~2 ulp (MXU pass association).
+    """
     n1, n2, m = plan.n1, plan.n2, plan.m
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
     twr_t = twcat_ref[:, :n2]                             # [n1, n2]
     twi_t = twcat_ref[:, n2:]
-    x = x * hann_ref[:]                                   # [TS, m, n1]
+    x = x * hann_ref[:]
+    contract = ((2,), (0,)) if transposed else ((1,), (0,))
     b = jax.lax.dot_general(
-        x, f2cat_ref[:], (((1,), (0,)), ((), ())), **kw
+        x, f2cat_ref[:], (contract, ((), ())), **kw
     )                                                     # [TS, n1, 2n2]
     br, bi = b[..., :n2], b[..., n2:]
     cr = br * twr_t - bi * twi_t                          # [TS, n1, n2]
     ci = br * twi_t + bi * twr_t
     c_cat = jnp.concatenate([cr, ci], axis=1)             # [TS, 2n1, n2]
     d = jax.lax.dot_general(
-        c_cat, f1blk_ref[:], (((1,), (0,)), ((), ())), **kw
-    )                                                     # [TS, n2, 2k1h]
+        f1blk_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
+    )                                                     # [2k1h, TS, n2]
     k1h = n1 // 2
-    dr, di = d[..., :k1h], d[..., k1h:]
-    p = dr * dr + di * di                                 # power, pre-swap
-    return jnp.sqrt(jnp.swapaxes(p, 1, 2))                # [TS, k1h, n2]
+    dr, di = d[:k1h], d[k1h:]
+    p = dr * dr + di * di                                 # power, pre-transpose
+    return jnp.transpose(jnp.sqrt(p), (1, 0, 2))          # [TS, k1h, n2]
 
 
 def _scaled_hann(w: int, m: int, n1: int) -> "np.ndarray":
@@ -110,11 +119,11 @@ def _scaled_hann(w: int, m: int, n1: int) -> "np.ndarray":
 
 
 def _fft_channel(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
-                 *, plan, precision):
+                 *, plan, precision, transposed=False):
     """Ref-writing wrapper around _fft_mag_value (see _kernel2)."""
     out_ref[:] = _fft_mag_value(
         x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
-        plan=plan, precision=precision,
+        plan=plan, precision=precision, transposed=transposed,
     )
 
 
@@ -128,7 +137,7 @@ def stft_mag_fused2(
     left: jax.Array,   # [N, W] f32 full-window plane, left channel
     right: jax.Array,  # [N, W] f32, right channel
     cfg: SpectrogramConfig,
-    block_rows: int = 32,
+    block_rows: int = 64,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     slice_bins: bool = True,
@@ -138,6 +147,12 @@ def stft_mag_fused2(
     [N, N/2] half-spectrum (bin index k = padded-FFT bin k, DC included)
     with slice_bins=False — the layout colormap_planes_builtin consumes
     against resample_matrix_full with zero copies in between.
+
+    v4: window planes feed the kernel TRANSPOSED per stream ([N, n1, m]:
+    the m axis rides the lanes, 1.7x tile padding instead of n1's 4x, and
+    stage 1 becomes a last-axis contraction).  The transpose runs outside
+    the kernel where XLA fuses it into the framing copy; block_rows
+    defaults to 64 (the smaller transposed blocks fit where v3 OOM'd).
 
     `plan` overrides the static-cost-model factorization (autotuner hook;
     must be an even-n1 plan for this geometry)."""
@@ -161,22 +176,24 @@ def stft_mag_fused2(
     n_pad = left.shape[0]
     n1, n2, m = plan.n1, plan.n2, plan.m
     half = (n1 // 2) * n2
-    left3 = left.reshape(n_pad, m, n1)
-    right3 = right.reshape(n_pad, m, n1)
-    hann2 = _scaled_hann(w, m, n1)
+    left3 = jnp.swapaxes(left.reshape(n_pad, m, n1), 1, 2)   # [N, n1, m]
+    right3 = jnp.swapaxes(right.reshape(n_pad, m, n1), 1, 2)
+    hann2 = np.ascontiguousarray(_scaled_hann(w, m, n1).T)   # [n1, m]
     f2cat, twr, twi, f1blk = _block_plan_constants(plan)
     twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)  # [n1, 2n2]
 
     def const_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel2, plan=plan, precision=precision)
+    kernel = functools.partial(
+        _kernel2, plan=plan, precision=precision, transposed=True
+    )
     mag_l, mag_r = pl.pallas_call(
         kernel,
         grid=(n_pad // ts,),
         in_specs=[
-            pl.BlockSpec((ts, m, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts, m, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, n1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, n1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             const_spec(hann2),
             const_spec(f2cat),
             const_spec(twcat),

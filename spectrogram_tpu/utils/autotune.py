@@ -38,12 +38,12 @@ DEFAULT_CACHE = pathlib.Path(
         os.path.expanduser("~/.cache/spectrogram_tpu/autotune.json"),
     )
 )
-DEFAULT_BLOCK_ROWS = (16, 32)
+DEFAULT_BLOCK_ROWS = (16, 32, 64)
 
 # Bump when the fused STFT kernel changes materially: cached rankings were
 # measured against a specific kernel formulation (FFTW re-plans when its
 # codelets change, for the same reason).
-_TUNER_VERSION = 4  # v4: split-channel framing changed the measured graph
+_TUNER_VERSION = 5  # v5: stft kernel v4 (transposed planes + flipped stage 2)
 
 
 def _cache_key(cfg: SpectrogramConfig, device_kind: str,

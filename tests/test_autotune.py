@@ -37,7 +37,9 @@ def test_tune_measures_once_then_caches(tmp_path):
     cache = tmp_path / "tune.json"
     plan, ts = autotune.tune(CFG, cache_path=cache, measure=fake_measure)
     assert (plan.n1, ts) == (16, 16)
-    assert len(calls) == len(candidate_plans(CFG, top=3)) * 2
+    assert len(calls) == len(candidate_plans(CFG, top=3)) * len(
+        autotune.DEFAULT_BLOCK_ROWS
+    )
     # second call: pure cache hit, no measurement
     plan2, ts2 = autotune.tune(
         CFG, cache_path=cache,
