@@ -146,11 +146,11 @@ class SpectrogramPipeline:
             )
         if not plan_usable:
             self.fft_plan = None  # all downstream paths fall back to XLA
-        # Pallas stream-block size for the fused STFT kernel (autotunable).
-        # 64 is the v4 (transposed-plane) kernel's measured best; the k>1
-        # buf-framing entry point clamps to 32 (its untransposed dT blocks
-        # OOM at 64 — exp_stft_r3).
-        self.stft_block_rows = 64
+        # Pallas stream-block size for the fused STFT kernel: None = each
+        # entry point's per-plan default (stft_kernel.default_block_rows —
+        # 64 where the v4 shapes measured best and compile, 32 otherwise);
+        # the autotuner overrides with a measured value.
+        self.stft_block_rows = None
         if autotune and plan_usable:
             # FFTW MEASURE analog: measure the even-n1 factorizations + block
             # sizes on this device, cached per (device kind, geometry) —
@@ -395,7 +395,8 @@ class SpectrogramPipeline:
             mag_l, mag_r = stft_kernel.stft_mag_fused2_buf(
                 buf_l, buf_r, cfg, k=k, precision=self.precision_stft,
                 interpret=self.kernel_interpret, plan=self.fft_plan,
-                block_rows=min(self.stft_block_rows, 32),
+                # untransposed dT blocks OOM at 64 (exp_stft_r3): cap at 32
+                block_rows=min(self.stft_block_rows or 32, 32),
             )  # [S*k, N/2] incl DC, window r of stream s at row r*S + s
         else:
             # window planes [S*k, W] per channel; at k=1 the channel planes

@@ -49,6 +49,24 @@ from spectrogram_tpu.ops import stft as stft_ops
 from spectrogram_tpu.ops.mxu_fft import FftPlan, make_plan
 
 
+def flip_supported(plan: FftPlan) -> bool:
+    """True when the flipped stage-2 orientation (dT) compiles: Mosaic's
+    leading-axis transpose of the [2k1h, TS, n2] product needs the lane dim
+    to be a whole number of 128-lane tiles (probed on hardware across six
+    geometries, 2026-08-16: n2=128 OK, n2 in {64, 100} -> infer-vector-layout
+    'unsupported shape cast')."""
+    return plan.n2 % 128 == 0
+
+
+def default_block_rows(plan: FftPlan) -> int:
+    """Default stream-block size: 64 only where measured to compile AND win
+    (the bench-class small-block shapes); 32 is the universal safe size.
+    The autotuner explores {16, 32, 64} per geometry regardless."""
+    if flip_supported(plan) and plan.n1 <= 32 and plan.m <= 64:
+        return 64
+    return 32
+
+
 def _kernel2(
     left_ref, right_ref, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
     out_l_ref, out_r_ref,
@@ -77,7 +95,7 @@ def _kernel2(
 
 
 def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
-                   *, plan, precision, transposed=False):
+                   *, plan, precision, transposed=False, flip=None):
     """One channel's four-step on a window block ([TS, n1, m] when
     `transposed`, else [TS, m, n1]); returns the [TS, k1h, n2] magnitude
     value (flat bin k = k1*n2 + k2).
@@ -92,6 +110,8 @@ def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
     are bitwise-identical; dT moves bits by ~2 ulp (MXU pass association).
     """
     n1, n2, m = plan.n1, plan.n2, plan.m
+    if flip is None:
+        flip = flip_supported(plan)
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
     twr_t = twcat_ref[:, :n2]                             # [n1, n2]
     twi_t = twcat_ref[:, n2:]
@@ -104,13 +124,21 @@ def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
     cr = br * twr_t - bi * twi_t                          # [TS, n1, n2]
     ci = br * twi_t + bi * twr_t
     c_cat = jnp.concatenate([cr, ci], axis=1)             # [TS, 2n1, n2]
-    d = jax.lax.dot_general(
-        f1blk_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
-    )                                                     # [2k1h, TS, n2]
     k1h = n1 // 2
-    dr, di = d[:k1h], d[k1h:]
-    p = dr * dr + di * di                                 # power, pre-transpose
-    return jnp.transpose(jnp.sqrt(p), (1, 0, 2))          # [TS, k1h, n2]
+    if flip:
+        d = jax.lax.dot_general(
+            f1blk_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
+        )                                                 # [2k1h, TS, n2]
+        dr, di = d[:k1h], d[k1h:]
+        p = dr * dr + di * di                             # power, pre-transpose
+        return jnp.transpose(jnp.sqrt(p), (1, 0, 2))      # [TS, k1h, n2]
+    # v3c orientation for plans where dT cannot compile (see flip_supported)
+    d = jax.lax.dot_general(
+        c_cat, f1blk_ref[:], (((1,), (0,)), ((), ())), **kw
+    )                                                     # [TS, n2, 2k1h]
+    dr, di = d[..., :k1h], d[..., k1h:]
+    p = dr * dr + di * di
+    return jnp.sqrt(jnp.swapaxes(p, 1, 2))                # [TS, k1h, n2]
 
 
 def _scaled_hann(w: int, m: int, n1: int) -> "np.ndarray":
@@ -137,7 +165,7 @@ def stft_mag_fused2(
     left: jax.Array,   # [N, W] f32 full-window plane, left channel
     right: jax.Array,  # [N, W] f32, right channel
     cfg: SpectrogramConfig,
-    block_rows: int = 64,
+    block_rows: int | None = None,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     slice_bins: bool = True,
@@ -150,9 +178,11 @@ def stft_mag_fused2(
 
     v4: window planes feed the kernel TRANSPOSED per stream ([N, n1, m]:
     the m axis rides the lanes, 1.7x tile padding instead of n1's 4x, and
-    stage 1 becomes a last-axis contraction).  The transpose runs outside
-    the kernel where XLA fuses it into the framing copy; block_rows
-    defaults to 64 (the smaller transposed blocks fit where v3 OOM'd).
+    stage 1 becomes a last-axis contraction; probed OK on every geometry).
+    Stage 2 uses the flipped (dT) orientation only where it compiles
+    (`flip_supported`: n2 % 128 == 0).  The transpose runs outside the
+    kernel where XLA fuses it into the framing copy; block_rows defaults
+    per plan (`default_block_rows`).
 
     `plan` overrides the static-cost-model factorization (autotuner hook;
     must be an even-n1 plan for this geometry)."""
@@ -161,6 +191,8 @@ def stft_mag_fused2(
     plan = plan or make_plan(cfg)
     if plan is None or plan.n1 % 2:
         raise ValueError(f"no even-n1 factorization for {cfg}")
+    if block_rows is None:
+        block_rows = default_block_rows(plan)
     if plan.n != cfg.padded_size or plan.m * plan.n1 != cfg.window_size:
         raise ValueError(f"plan {plan} does not fit geometry {cfg}")
     if cfg.pad_factor < 2:

@@ -85,3 +85,45 @@ def test_buf_framing_matches_plane_path(rng):
                             hop_period=0.008)
     assert not stft_kernel.buf_framing_supported(bad, k=2)
     assert stft_kernel.buf_framing_supported(bad, k=1)
+
+
+def test_flip_gate_and_block_defaults():
+    """Mosaic capability gate (probed on hardware 2026-08-16): the flipped
+    stage-2 orientation requires n2 % 128 == 0; default block sizes are 64
+    only for the small-block flip shapes.  Both orientations must agree
+    numerically (interpret mode)."""
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.ops.mxu_fft import make_plan
+
+    bench = make_plan(SpectrogramConfig(
+        sample_rate=48000.0, window_period=2048 / 48000.0))
+    ref = make_plan(SpectrogramConfig(sample_rate=48000.0))
+    assert stft_kernel.flip_supported(bench)          # 32x128
+    assert not stft_kernel.flip_supported(ref)        # 48x100
+    assert stft_kernel.default_block_rows(bench) == 64
+    assert stft_kernel.default_block_rows(ref) == 32
+
+    # numeric agreement of the two stage-2 orientations on the SAME plan
+    cfg = SpectrogramConfig(sample_rate=48000.0, window_period=2048 / 48000.0)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((8, cfg.window_size)).astype(np.float32) * 0.1
+    import functools
+    import jax
+
+    outs = []
+    for flip in (True, False):
+        # identical static args would hit the jit cache and compare the
+        # first result to itself; drop the cache so the patched kernel
+        # actually traces
+        jax.clear_caches()
+        orig = stft_kernel._fft_mag_value
+        patched = functools.partial(orig, flip=flip)
+        stft_kernel._fft_mag_value = patched
+        try:
+            ml, _ = stft_kernel.stft_mag_fused2(
+                jnp.asarray(x), jnp.asarray(x), cfg, interpret=True)
+            outs.append(np.asarray(ml))
+        finally:
+            stft_kernel._fft_mag_value = orig
+    assert not np.array_equal(outs[0], outs[1])  # orientations re-associate
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=1e-7)
