@@ -90,6 +90,7 @@ class SpectrogramPipeline:
         autotune: bool = False,
         sanitize_input: bool = False,
         schemes=None,
+        transposed_carry: bool = False,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -182,6 +183,31 @@ class SpectrogramPipeline:
                 else "mxu" if plan_usable else "xla"
             )
         self.fused_chain = stft_backend == "pallas"
+        # Transposed-carry state format (MEASURED NEGATIVE, kept opt-in as
+        # evidence): carry as [S, 2, n1, C/n1] (the kernel's native window
+        # layout) deletes the per-channel slice + full-buffer transpose
+        # glue, BUT the replacement concat/slice run on the LANE axis at
+        # non-tile offsets — profiler: framing 0.62 -> 1.84 ms at 4096
+        # streams (slice_maximum + pad_maximum 0.59 each ~ 113 GB/s
+        # effective, 7x under HBM peak), 1.38M -> 953k rows/s end-to-end
+        # even though the 4D-operand kernel itself times identically
+        # (1.025 ms).  Lesson: minor-dim concats at unaligned offsets cost
+        # more than the copies they replace.  DESIGN.md kernel ledger.
+        from spectrogram_tpu.ops.pallas import stft_kernel as _sk
+
+        self.carry_transposed = bool(transposed_carry) and (
+            self.fused_chain
+            and _sk.carry_transposed_supported(cfg, self.fft_plan)
+            and not (
+                self.chunk_hops > 1
+                and _sk.buf_framing_supported(cfg, self.chunk_hops, self.fft_plan)
+            )
+        )
+        if transposed_carry and not self.carry_transposed:
+            raise ValueError(
+                f"transposed_carry requires the fused chain and "
+                f"hop % n1 == 0 (cfg {cfg}, plan {self.fft_plan})"
+            )
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
         self.resample_t_full = jnp.asarray(resample_full_t)
         # Banded colormap plan: the two-tap resample matrix lets each pixel
@@ -267,8 +293,15 @@ class SpectrogramPipeline:
         reference widget's default (gpu_spectrogram.rs:88)."""
         cfg = self.cfg
         ring_rows = self.viewport_rows if self.store_ring else 0
+        if self.carry_transposed:
+            n1 = self.fft_plan.n1
+            carry = jnp.zeros(
+                (n_streams, 2, n1, self.carry_size // n1), jnp.float32
+            )
+        else:
+            carry = jnp.zeros((n_streams, 2, self.carry_size), jnp.float32)
         return StreamState(
-            carry=jnp.zeros((n_streams, 2, self.carry_size), jnp.float32),
+            carry=carry,
             ring=jnp.zeros(
                 (n_streams, ring_rows, 2, cfg.num_bins), self.ring_dtype
             ),
@@ -335,6 +368,8 @@ class SpectrogramPipeline:
         k = self.chunk_hops
         if self.sanitize_input:
             chunk_pl = jnp.where(jnp.isfinite(chunk_pl), chunk_pl, 0.0)
+        if self.carry_transposed:
+            return self._push_fused_t(state, chunk_pl)
         if self.fused_chain:
             # Split-channel framing: per-channel 2D sample planes.  The
             # strided channel reads fuse into the concat copies; at k=1 the
@@ -412,6 +447,48 @@ class SpectrogramPipeline:
                 interpret=self.kernel_interpret, plan=self.fft_plan,
                 block_rows=self.stft_block_rows,
             )  # [S*k, N/2] incl DC
+        return self._fused_tail(state, mag_l, mag_r, new_carry, s)
+
+    def _push_fused_t(self, state: StreamState, chunk_pl: jax.Array):
+        """Transposed-carry fast path: the carry is stored [S, 2, n1, C/n1]
+        (the kernel's native window layout), so the per-push framing is ONE
+        chunk transpose (over the small chunk, not the full buffer) + a
+        concat + a slice — the per-channel slice copies and the full-buffer
+        transpose of the planar formulation never exist (HLO-verified)."""
+        from spectrogram_tpu.ops.pallas import stft_kernel
+
+        cfg = self.cfg
+        k = self.chunk_hops
+        plan = self.fft_plan
+        n1, m = plan.n1, plan.m
+        s = chunk_pl.shape[0]
+        chunk_t = jnp.swapaxes(
+            chunk_pl.reshape(s, 2, self.chunk_size // n1, n1), 2, 3
+        )                                                  # [S, 2, n1, T/n1]
+        buf_t = jnp.concatenate([state.carry, chunk_t], axis=3)
+        cols = buf_t.shape[3]
+        new_carry = buf_t[:, :, :, cols - self.carry_size // n1 :]
+        if k == 1:
+            x = buf_t                                      # cols == m
+        else:
+            hop_m = cfg.hop_size // n1
+            x = jnp.concatenate(
+                [buf_t[:, :, :, r * hop_m : r * hop_m + m] for r in range(k)],
+                axis=0,
+            )                                              # [k*S, 2, n1, m]
+        mag_l, mag_r = stft_kernel.stft_mag_fused2_t(
+            x, cfg, precision=self.precision_stft,
+            interpret=self.kernel_interpret, plan=plan,
+            block_rows=self.stft_block_rows,
+        )
+        return self._fused_tail(state, mag_l, mag_r, new_carry, s)
+
+    def _fused_tail(self, state: StreamState, mag_l, mag_r, new_carry, s):
+        """Shared back half of the fused push: banded colormap on the full
+        half-spectrum planes, row reorder, ring update, pack."""
+        cfg = self.cfg
+        k = self.chunk_hops
+        w = cfg.window_size
         tabs = self._kernel_tables(state.palette_id, k, order="tile")
         if self.cmap_segments_full is not None:
             packed = cmap_kernel.colormap_planes_banded(

@@ -258,6 +258,116 @@ def stft_mag_fused2(
     return mag_l, mag_r
 
 
+def _kernel2_t(
+    x_ref, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_l_ref, out_r_ref,
+    *, plan, precision,
+):
+    """Combined-channel v4 body: ONE [TS, 2, n1, m] operand; the channel
+    split happens on the loaded VMEM value, so the XLA-side per-channel
+    slice copies of the two-operand entry point never exist (the 10k-scale
+    framing-glue fix, HLO-verified)."""
+    x = x_ref[:]
+    _fft_channel(x[:, 0], hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+                 out_l_ref, plan=plan, precision=precision, transposed=True)
+    _fft_channel(x[:, 1], hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+                 out_r_ref, plan=plan, precision=precision, transposed=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "block_rows", "precision", "interpret", "plan"),
+)
+def stft_mag_fused2_t(
+    x: jax.Array,  # [N, 2, n1, m] f32 TRANSPOSED stereo window blocks
+    cfg: SpectrogramConfig,
+    block_rows: int | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    plan: FftPlan | None = None,
+):
+    """Fused STFT on combined-channel transposed window blocks.
+
+    The operand layout IS the pipeline's transposed-carry buffer
+    (x[n, c, j1, t] = window sample t*n1+j1 of channel c), so framing is
+    concat + slice only — no channel splits, no [m, n1] -> [n1, m]
+    transpose pass (models/spectrogram.py builds it incrementally).
+    Returns (magL, magR) each [N, N_fft/2] (DC included), identical bits
+    to `stft_mag_fused2` on the same plan."""
+    from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
+
+    plan = plan or make_plan(cfg)
+    if plan is None or plan.n1 % 2:
+        raise ValueError(f"no even-n1 factorization for {cfg}")
+    if plan.n != cfg.padded_size or plan.m * plan.n1 != cfg.window_size:
+        raise ValueError(f"plan {plan} does not fit geometry {cfg}")
+    if cfg.pad_factor < 2:
+        raise ValueError(f"fused STFT requires pad_factor >= 2, got {cfg}")
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    n = x.shape[0]
+    if x.shape[1:] != (2, n1, m):
+        raise ValueError(f"expected [N, 2, {n1}, {m}] blocks, got {x.shape}")
+    if block_rows is None:
+        block_rows = default_block_rows(plan)
+    half = (n1 // 2) * n2
+    ts = min(block_rows, n) if n % block_rows else block_rows
+    if n % ts:
+        x = jnp.pad(x, ((0, ts - n % ts), (0, 0), (0, 0), (0, 0)))
+    n_pad = x.shape[0]
+    hann2 = np.ascontiguousarray(_scaled_hann(cfg.window_size, m, n1).T)
+    f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+    twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel2_t, plan=plan, precision=precision)
+    mag_l, mag_r = pl.pallas_call(
+        kernel,
+        grid=(n_pad // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, 2, n1, m), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec(hann2),
+            const_spec(f2cat),
+            const_spec(twcat),
+            const_spec(f1blk),
+        ],
+        out_specs=[
+            pl.BlockSpec((ts, n1 // 2, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, n1 // 2, n2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * 2 * (plan.complex_macs * 2),
+            bytes_accessed=2 * n_pad * (cfg.window_size + half) * 4,
+            transcendentals=2 * n_pad * half,
+        ),
+        interpret=interpret,
+    )(x, jnp.asarray(hann2), jnp.asarray(f2cat), jnp.asarray(twcat),
+      jnp.asarray(f1blk))
+    return mag_l.reshape(n_pad, half)[:n], mag_r.reshape(n_pad, half)[:n]
+
+
+def carry_transposed_supported(cfg: SpectrogramConfig,
+                               plan: FftPlan | None = None) -> bool:
+    """True when the transposed-carry state format applies: hop a multiple
+    of the plan's n1, so every hop boundary falls between whole
+    [n1]-columns of the transposed buffer."""
+    plan = plan or make_plan(cfg)
+    return (
+        plan is not None
+        and plan.n1 % 2 == 0
+        and cfg.pad_factor >= 2
+        and cfg.hop_size % plan.n1 == 0
+    )
+
+
 def buf_framing_supported(cfg: SpectrogramConfig, k: int = 1,
                           plan: FftPlan | None = None) -> bool:
     """True when the zero-copy buffer-window entry point applies: window and

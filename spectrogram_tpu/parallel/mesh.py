@@ -42,19 +42,25 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devs), (STREAM_AXIS,))
 
 
-def state_shardings(mesh: Mesh) -> StreamState:
+def state_shardings(mesh: Mesh, carry_ndim: int = 3) -> StreamState:
     """NamedShardings for every StreamState leaf: stream-sharded arrays,
-    replicated scalars."""
+    replicated scalars.  `carry_ndim` tracks the pipeline's carry format
+    (3 = planar [S, 2, C]; 4 = transposed [S, 2, n1, C/n1]) — the stream
+    axis leads either way."""
     def s(*spec):
         return NamedSharding(mesh, P(*spec))
 
     return StreamState(
-        carry=s(STREAM_AXIS, None, None),
+        carry=s(STREAM_AXIS, *([None] * (carry_ndim - 1))),
         ring=s(STREAM_AXIS, None, None, None),
         cursor=s(),
         palette_id=s(STREAM_AXIS),
         row_count=s(),
     )
+
+
+def _carry_ndim(pipeline: SpectrogramPipeline) -> int:
+    return 4 if getattr(pipeline, "carry_transposed", False) else 3
 
 
 def chunk_sharding(mesh: Mesh) -> NamedSharding:
@@ -71,7 +77,7 @@ def rgba_sharding(mesh: Mesh, packed: bool = False) -> NamedSharding:
 
 def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
     """Place an (unsharded) state onto the mesh."""
-    return jax.device_put(state, state_shardings(mesh))
+    return jax.device_put(state, state_shardings(mesh, state.carry.ndim))
 
 
 def sharded_init(
@@ -84,7 +90,7 @@ def sharded_init(
     straight out of the compiled init."""
     return jax.jit(
         functools.partial(pipeline.init_state, n_streams, palette_id=palette_id),
-        out_shardings=state_shardings(mesh),
+        out_shardings=state_shardings(mesh, _carry_ndim(pipeline)),
     )()
 
 
@@ -94,7 +100,7 @@ def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh):
     Returns step(state, chunk) -> (state, rgba_u8).  The stream count must be
     divisible by mesh size.  State is donated: the ring never leaves HBM.
     """
-    ss = state_shardings(mesh)
+    ss = state_shardings(mesh, _carry_ndim(pipeline))
     return jax.jit(
         pipeline.push_impl,
         in_shardings=(ss, chunk_sharding(mesh)),
@@ -110,7 +116,7 @@ def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh):
     Returns step(state, chunk) -> (state, rgba_u8, global_rows).
     """
     state_specs = StreamState(
-        carry=P(STREAM_AXIS, None, None),
+        carry=P(STREAM_AXIS, *([None] * (_carry_ndim(pipeline) - 1))),
         ring=P(STREAM_AXIS, None, None, None),
         cursor=P(),
         palette_id=P(STREAM_AXIS),

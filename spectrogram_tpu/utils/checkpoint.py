@@ -94,8 +94,21 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
         )
     z = np.load(path.with_suffix(".npz"))
     ring_dtype = jnp.dtype(str(z["ring_dtype"]))
+    carry = np.asarray(z["carry"])
+    # carry-format migration: checkpoints store whichever format the saving
+    # pipeline used (planar [S, 2, C] or transposed [S, 2, n1, C/n1]); the
+    # two are a deterministic reshape+transpose apart, so a restore into a
+    # pipeline of the other format converts instead of failing.
+    want_t = getattr(pipeline, "carry_transposed", False)
+    if carry.ndim == 3 and want_t:
+        n1 = pipeline.fft_plan.n1
+        s_, _, c_ = carry.shape
+        carry = carry.reshape(s_, 2, c_ // n1, n1).swapaxes(2, 3)
+    elif carry.ndim == 4 and not want_t:
+        s_, _, n1_, cm = carry.shape
+        carry = carry.swapaxes(2, 3).reshape(s_, 2, n1_ * cm)
     state = StreamState(
-        carry=jnp.asarray(z["carry"]),
+        carry=jnp.asarray(carry),
         ring=jnp.asarray(z["ring"]).astype(ring_dtype),
         cursor=jnp.asarray(z["cursor"]),
         palette_id=jnp.asarray(z["palette_id"]),

@@ -128,12 +128,16 @@ def test_fused_chain_matches_default_backend(rng):
     import spectrogram_tpu.ops.pallas.stft_kernel as sk
     import jax
 
-    # interpret mode on CPU for both pallas kernels
+    # interpret mode on CPU for all pallas entry points (the fused push may
+    # route via the plane, buf, or transposed-carry kernels)
     orig_ck, orig_sk = ck.colormap_planes_builtin, sk.stft_mag_fused2
+    orig_skt = sk.stft_mag_fused2_t
     ck_i = lambda *a, **kw: orig_ck(*a, **{**kw, "interpret": True})
     sk_i = lambda *a, **kw: orig_sk(*a, **{**kw, "interpret": True})
+    skt_i = lambda *a, **kw: orig_skt(*a, **{**kw, "interpret": True})
     ck.colormap_planes_builtin = ck_i
     sk.stft_mag_fused2 = sk_i
+    sk.stft_mag_fused2_t = skt_i
     try:
         p_fused = SpectrogramPipeline(CFG, chunk_hops=2, packed_output=True,
                                       stft_backend="pallas")
@@ -159,6 +163,7 @@ def test_fused_chain_matches_default_backend(rng):
     finally:
         ck.colormap_planes_builtin = orig_ck
         sk.stft_mag_fused2 = orig_sk
+        sk.stft_mag_fused2_t = orig_skt
 
 
 def test_push_rejects_wrong_chunk_shape(rng):
@@ -280,3 +285,51 @@ def test_process_matches_push_with_sanitize(rng):
     padded = np.concatenate([np.zeros((1, p.carry_size, 2), np.float32), pcm], axis=1)
     oneshot = np.asarray(p.process(jnp.asarray(padded)))
     np.testing.assert_array_equal(np.asarray(pushed), oneshot)
+
+
+def test_transposed_carry_matches_planar(rng, tmp_path):
+    """transposed_carry=True (measured-negative on v5e, kept opt-in — see
+    the constructor comment) must be numerically identical to the planar
+    fused path, and checkpoints must migrate between the two formats."""
+    import spectrogram_tpu.ops.pallas.colormap_kernel as ck
+    import spectrogram_tpu.ops.pallas.stft_kernel as sk
+    from spectrogram_tpu.utils import checkpoint
+
+    orig_ck, orig_sk = ck.colormap_planes_builtin, sk.stft_mag_fused2
+    orig_skt = sk.stft_mag_fused2_t
+    ck.colormap_planes_builtin = lambda *a, **kw: orig_ck(*a, **{**kw, "interpret": True})
+    sk.stft_mag_fused2 = lambda *a, **kw: orig_sk(*a, **{**kw, "interpret": True})
+    sk.stft_mag_fused2_t = lambda *a, **kw: orig_skt(*a, **{**kw, "interpret": True})
+    try:
+        p_pl = SpectrogramPipeline(CFG, chunk_hops=2, packed_output=True,
+                                   stft_backend="pallas")
+        p_t = SpectrogramPipeline(CFG, chunk_hops=2, packed_output=True,
+                                  stft_backend="pallas", transposed_carry=True)
+        assert not p_pl.carry_transposed and p_t.carry_transposed
+        s_pl = p_pl.init_state(3, palette_id=0)
+        s_t = p_t.init_state(3, palette_id=0)
+        assert s_t.carry.ndim == 4
+        for _ in range(3):
+            chunk = jnp.asarray(
+                rng.standard_normal((3, p_pl.chunk_size, 2)).astype(np.float32) * 0.2
+            )
+            s_pl, out_pl = p_pl.push(s_pl, chunk)
+            s_t, out_t = p_t.push(s_t, chunk)
+            np.testing.assert_array_equal(np.asarray(out_pl), np.asarray(out_t))
+        # carry formats hold the same samples (reshape+transpose apart)
+        n1 = p_t.fft_plan.n1
+        re_pl = np.asarray(s_t.carry).swapaxes(2, 3).reshape(3, 2, -1)
+        np.testing.assert_array_equal(re_pl, np.asarray(s_pl.carry))
+        # checkpoint saved planar restores into a transposed pipeline & back
+        checkpoint.save_state(tmp_path / "pl", s_pl, CFG, p_pl)
+        restored_t = checkpoint.load_state(tmp_path / "pl", p_t)
+        np.testing.assert_array_equal(
+            np.asarray(restored_t.carry), np.asarray(s_t.carry))
+        checkpoint.save_state(tmp_path / "tt", s_t, CFG, p_t)
+        restored_pl = checkpoint.load_state(tmp_path / "tt", p_pl)
+        np.testing.assert_array_equal(
+            np.asarray(restored_pl.carry), np.asarray(s_pl.carry))
+    finally:
+        ck.colormap_planes_builtin = orig_ck
+        sk.stft_mag_fused2 = orig_sk
+        sk.stft_mag_fused2_t = orig_skt
