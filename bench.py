@@ -63,6 +63,12 @@ def main() -> None:
         # from the runtime tuner cache (utils/autotune.py) instead of the
         # static cost model.
         autotune=os.environ.get("BENCH_AUTOTUNE", "0") == "1",
+        # BENCH_STATIC_PALETTE=<name|index>: bake one palette into the
+        # colormap kernels (the single-tenant fast path; the headline
+        # metric stays the per-row multi-palette configuration).
+        static_palette=(
+            int(sp) if sp.lstrip("-").isdigit() else sp
+        ) if (sp := os.environ.get("BENCH_STATIC_PALETTE", "")) else None,
     )
 
     rng = np.random.default_rng(0)

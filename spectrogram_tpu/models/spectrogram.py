@@ -91,6 +91,7 @@ class SpectrogramPipeline:
         sanitize_input: bool = False,
         schemes=None,
         transposed_carry: bool = False,
+        static_palette=None,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -266,6 +267,33 @@ class SpectrogramPipeline:
             self.builtin_tables = None
             gu, gv = cmap_kernel.generic_color_tables(res, self.schemes)
             self.generic_tables = (jnp.asarray(gu), jnp.asarray(gv))
+        # static_palette: bake ONE scheme's LUT into the colormap kernel as
+        # compile-time scalars — the single-palette fast path (2.3x the
+        # per-row colormap, exact pixels; exp_colormap_static_palette).
+        # This is the reference's own operating mode (one scheme per
+        # widget, gpu_spectrogram.rs:88).  Trades runtime palette agility
+        # for speed: set_palette raises; switching = a new pipeline (a
+        # recompile, like the reference's plan rebuild on rate change).
+        self.static_table = None
+        self.static_palette_id = None
+        if static_palette is not None:
+            if self.builtin_tables is None:
+                raise ValueError(
+                    "static_palette requires every scheme to fit the "
+                    "built-in mono/stereo LUT structure"
+                )
+            pid = (
+                static_palette
+                if isinstance(static_palette, int)
+                else self.scheme_names.index(static_palette)
+            )
+            if not 0 <= pid < len(self.schemes):
+                raise ValueError(f"static_palette {static_palette!r} out of range")
+            self.static_palette_id = int(pid)
+            self.static_table = tuple(
+                float(v)
+                for v in cmap_kernel.builtin_color_tables(res, self.schemes)[pid]
+            )
         # precision_profile: "exact" pins true-f32 matmuls everywhere (the
         # parity contract vs the reference's f32 pipeline).  "fast" relaxes
         # ONLY the colormap resample matmul to the MXU's native bf16 passes:
@@ -292,6 +320,8 @@ class SpectrogramPipeline:
         """Fresh state for S streams. Default palette 1 = Magma, the
         reference widget's default (gpu_spectrogram.rs:88)."""
         cfg = self.cfg
+        if self.static_palette_id is not None:
+            palette_id = self.static_palette_id  # pinned by construction
         ring_rows = self.viewport_rows if self.store_ring else 0
         if self.carry_transposed:
             n1 = self.fft_plan.n1
@@ -313,6 +343,13 @@ class SpectrogramPipeline:
     def set_palette(self, state: StreamState, palette_id) -> StreamState:
         """Runtime palette switch (per stream or broadcast) — a pure state
         update, the analog of the `palette` GObject property (main.rs:102-104)."""
+        if self.static_table is not None:
+            raise ValueError(
+                "this pipeline bakes static_palette="
+                f"{self.scheme_names[self.static_palette_id]!r} into its "
+                "kernels; runtime switching needs a pipeline without "
+                "static_palette (or a new pipeline per palette)"
+            )
         pid = jnp.broadcast_to(
             jnp.asarray(palette_id, jnp.int32), state.palette_id.shape
         )
@@ -489,19 +526,24 @@ class SpectrogramPipeline:
         cfg = self.cfg
         k = self.chunk_hops
         w = cfg.window_size
-        tabs = self._kernel_tables(state.palette_id, k, order="tile")
+        if self.static_table is not None:
+            tabs, static = None, self.static_table
+        else:
+            tabs, static = self._kernel_tables(state.palette_id, k, order="tile"), None
         if self.cmap_segments_full is not None:
             packed = cmap_kernel.colormap_planes_banded(
                 mag_l, mag_r, tabs, self.resample_t_full, cfg,
                 self.cmap_segments_full,
                 precision=self.precision_cmap,
                 interpret=self.kernel_interpret,
+                static_table=static,
             )                                                 # [S*k, H]
         else:
             packed = cmap_kernel.colormap_planes_builtin(
                 mag_l, mag_r, tabs, self.resample_t_full, cfg,
                 precision=self.precision_cmap,
                 interpret=self.kernel_interpret,
+                static_table=static,
             )                                                 # [S*k, H]
         if k > 1:
             packed = packed.reshape(k, s, -1).swapaxes(0, 1)  # [S, k, H]
@@ -571,17 +613,22 @@ class SpectrogramPipeline:
         s, k = rows.shape[0], rows.shape[1]
         if self.colormap_backend == "pallas":
             flat = rows.reshape(s * k, 2, rows.shape[3])
-            tabs = self._kernel_tables(palette_id, k, order="repeat")
+            if self.static_table is not None:
+                tabs, static = None, self.static_table
+            else:
+                tabs, static = self._kernel_tables(palette_id, k, order="repeat"), None
             if self.cmap_segments is not None:
                 packed = cmap_kernel.colormap_planes_banded(
                     flat[:, 0, :], flat[:, 1, :], tabs, self.resample_t,
                     self.cfg, self.cmap_segments,
                     interpret=self.kernel_interpret,
+                    static_table=static,
                 ).reshape(s, k, -1)
             else:
-                packed = cmap_kernel.colormap_rows_builtin(
-                    flat, tabs, self.resample_t, self.cfg,
-                    interpret=self.kernel_interpret,
+                packed = cmap_kernel.colormap_planes_builtin(
+                    flat[:, 0, :], flat[:, 1, :], tabs, self.resample_t,
+                    self.cfg, interpret=self.kernel_interpret,
+                    static_table=static,
                 ).reshape(s, k, -1)
             if self.packed_output:
                 return packed
@@ -642,10 +689,17 @@ class SpectrogramPipeline:
 
     # ------------------------------------------------------------ one-shot API
 
-    def process(self, pcm: jax.Array, palette_id: int = 1):
+    def process(self, pcm: jax.Array, palette_id: int | None = None):
         """Non-streaming convenience: [S, T, 2] (or [T, 2]) PCM -> u8 RGBA
         rows for all complete windows. Matches push()-ing the same samples
-        in hop-multiple chunks."""
+        in hop-multiple chunks.  Default palette: the pinned static_palette
+        when set, else 1 (Magma, the reference widget's default)."""
+        if palette_id is None:
+            palette_id = (
+                self.static_palette_id
+                if self.static_palette_id is not None
+                else 1
+            )
         squeeze = pcm.ndim == 2
         if squeeze:
             pcm = pcm[None]

@@ -410,10 +410,80 @@ def _generic_word_tile(left, right, mat_tile, u_ref, v_ref, *,
     return q(0) | (q(1) << 8) | (q(2) << 16) | (q(3) << 24)
 
 
+def _static_builtin_kernel(
+    left_ref,    # [TS, B] f32
+    right_ref,   # [TS, B] f32
+    mat_ref,     # [B, H] f32
+    out_ref,     # [TS, H] i32 packed RGBA8888
+    *,
+    table: tuple,   # R*4 floats, baked at trace time
+    min_db: float,
+    max_db: float,
+    db_eps: float,
+    res: int,
+    precision,
+    subtile: int,
+):
+    """Single-palette colormap with the LUT baked as COMPILE-TIME scalars.
+
+    When every row shares one scheme — the reference's own operating mode,
+    one palette per widget (gpu_spectrogram.rs:88) — the per-row table
+    operand, its [TS,1]->[TS,P] broadcasts, and the tent mux all collapse
+    into scalar-constant FMAs (zero-weight terms elided exactly: they
+    contributed +0.0).  Measured 2.3x the per-row banded kernel at 4096
+    rows with EXACT output parity (exp_colormap_static_palette)."""
+    left = left_ref[:]
+    right = right_ref[:]
+    stereo = bool(table[3])
+    h = mat_ref.shape[1]
+    for hc in range(h // subtile):
+        sl = slice(hc * subtile, (hc + 1) * subtile)
+        pl_ = jnp.dot(left, mat_ref[:, sl], preferred_element_type=jnp.float32,
+                      precision=precision)
+        pr_ = jnp.dot(right, mat_ref[:, sl], preferred_element_type=jnp.float32,
+                      precision=precision)
+        power = pl_ * pl_ + pr_ * pr_
+        db = 10.0 * jnp.log10(power + db_eps)
+        mag = (db - min_db) / (max_db - min_db)
+        denom = pl_ + pr_
+        pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
+        xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+        xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+        x_color = xv if stereo else xu
+        rgb = [jnp.zeros(xu.shape, jnp.float32) for _ in range(3)]
+        for t in range(res):
+            w = jnp.clip(1.0 - jnp.abs(x_color - t), 0.0, 1.0)
+            for c in range(3):
+                v = float(table[t * 4 + c])
+                if v != 0.0:
+                    rgb[c] = rgb[c] + w * v
+        alpha = (xu * (1.0 / (res - 1))) if stereo else 1.0
+
+        def q(x):
+            if isinstance(x, float):
+                return jnp.full(xu.shape, int(round(x * 255.0)), jnp.int32)
+            return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.int32)
+
+        out_ref[:, sl] = (
+            q(rgb[0]) | (q(rgb[1]) << 8) | (q(rgb[2]) << 16) | (q(alpha) << 24)
+        )
+
+
 def _tables_kernel_and_operands(color_tables, *, kw, subtile):
     """Dispatch on the table format: a single [N, R*4] array selects the
-    specialized built-in kernel; a (u_flat, v_flat) tuple selects the
-    generic two-table kernel.  Returns (kernel_fn, [table operands], res)."""
+    specialized built-in kernel; a (u_flat, v_flat) JAX-array tuple selects
+    the generic two-table kernel; a plain PYTHON tuple of floats (length
+    R*4) selects the static single-palette kernel with no table operand.
+    Returns (kernel_fn, [table operands], res)."""
+    if isinstance(color_tables, tuple) and color_tables and isinstance(
+        color_tables[0], float
+    ):
+        res = len(color_tables) // 4
+        kernel = functools.partial(
+            _static_builtin_kernel, table=color_tables, res=res,
+            subtile=subtile, **kw
+        )
+        return kernel, [], res
     if isinstance(color_tables, (tuple, list)):
         u_flat, v_flat = color_tables
         res = u_flat.shape[1] // 4
@@ -452,12 +522,15 @@ def colormap_rows_builtin(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block_rows", "block_cols", "precision", "interpret"),
+    static_argnames=(
+        "cfg", "block_rows", "block_cols", "precision", "interpret",
+        "static_table",
+    ),
 )
 def colormap_planes_builtin(
     left: jax.Array,        # [N, B] f32 left magnitude plane
     right: jax.Array,       # [N, B] f32 right magnitude plane
-    color_tables: jax.Array,
+    color_tables,           # [N, R*4] array | (u, v) arrays | None (static)
     matrix_t: jax.Array,    # [B, H] f32 (B may include the DC column with
                             # zero weight — lets the fused STFT hand its full
                             # half-spectrum over without a slicing pass)
@@ -466,12 +539,16 @@ def colormap_planes_builtin(
     block_cols: int | None = None,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    static_table: tuple | None = None,
 ) -> jax.Array:
     """As colormap_rows_builtin but taking separate channel planes.
 
     `color_tables` selects the kernel: a single [N, R*4] array = the
     specialized built-in kernel; a (u_flat, v_flat) tuple (each [N, R*4]) =
-    the generic two-table kernel serving arbitrary factored palettes."""
+    the generic two-table kernel serving arbitrary factored palettes.
+    `static_table` (a hashable tuple of R*4 floats) instead bakes ONE
+    palette into the kernel as compile-time scalars — the single-palette
+    fast path (2.3x; exp_colormap_static_palette)."""
     n, b = left.shape
     if matrix_t.shape[0] != b:
         raise ValueError(
@@ -483,11 +560,14 @@ def colormap_planes_builtin(
 
     block_rows, block_cols = _auto_blocks(b, block_rows, block_cols)
     ts = min(block_rows, n) if n % block_rows else block_rows
-    tables = (
-        list(color_tables)
-        if isinstance(color_tables, (tuple, list))
-        else [color_tables]
-    )
+    if static_table is not None:
+        tables = []
+    else:
+        tables = (
+            list(color_tables)
+            if isinstance(color_tables, (tuple, list))
+            else [color_tables]
+        )
     if n % ts:
         pad = ts - n % ts
         left = jnp.pad(left, ((0, pad), (0, 0)))
@@ -506,7 +586,9 @@ def colormap_planes_builtin(
         precision=precision,
     )
     kernel, tables, res = _tables_kernel_and_operands(
-        tables if len(tables) > 1 else tables[0],
+        static_table
+        if static_table is not None
+        else (tables if len(tables) > 1 else tables[0]),
         kw=kw, subtile=_subtile_for(th),
     )
     table_specs = [
@@ -589,13 +671,14 @@ def _banded_worthwhile(segments, b: int, h: int, threshold: float = 0.75) -> boo
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "segments", "block_rows", "block_cols", "precision", "interpret"
+        "cfg", "segments", "block_rows", "block_cols", "precision",
+        "interpret", "static_table",
     ),
 )
 def colormap_planes_banded(
     left: jax.Array,        # [N, B] f32 left magnitude plane
     right: jax.Array,       # [N, B] f32 right magnitude plane
-    color_tables: jax.Array,
+    color_tables,           # [N, R*4] array | (u, v) arrays | None (static)
     matrix_t: jax.Array,    # [B, H] f32 full resample matrix (transposed)
     cfg: SpectrogramConfig,
     segments: tuple[tuple[int, int, int, int], ...],
@@ -603,6 +686,7 @@ def colormap_planes_banded(
     block_cols: int | None = None,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    static_table: tuple | None = None,
 ) -> jax.Array:
     """Banded colormap: one kernel launch per `band_segments` segment, each
     contracting only the bin band its pixel columns actually read.
@@ -625,11 +709,14 @@ def colormap_planes_banded(
     max_band = max(hi - lo for _, _, lo, hi in segments)
     block_rows, block_cols = _auto_blocks(max_band, block_rows, block_cols)
     ts = min(block_rows, n) if n % block_rows else block_rows
-    tables = (
-        list(color_tables)
-        if isinstance(color_tables, (tuple, list))
-        else [color_tables]
-    )
+    if static_table is not None:
+        tables = []
+    else:
+        tables = (
+            list(color_tables)
+            if isinstance(color_tables, (tuple, list))
+            else [color_tables]
+        )
     if n % ts:
         pad = ts - n % ts
         left = jnp.pad(left, ((0, pad), (0, 0)))
@@ -647,7 +734,9 @@ def colormap_planes_banded(
             mat_seg = jnp.pad(mat_seg, ((0, 0), (0, th - h_seg % th)))
         h_pad = mat_seg.shape[1]
         kernel, seg_tables, res = _tables_kernel_and_operands(
-            tables if len(tables) > 1 else tables[0],
+            static_table
+            if static_table is not None
+            else (tables if len(tables) > 1 else tables[0]),
             kw=dict(
                 min_db=cfg.min_db,
                 max_db=cfg.max_db,

@@ -245,3 +245,30 @@ def test_banded_awkward_geometry_fallback(rng):
     band = np.asarray(ck.colormap_planes_banded(left, right, tabs, mt, cfg,
                                                 segs, interpret=True))
     np.testing.assert_array_equal(dense, band)
+
+
+def test_static_table_kernel_matches_per_row(rng):
+    """static_table (palette baked as compile-time scalars) must be
+    byte-identical to the per-row kernel with a uniform palette — for a
+    mono and a stereo scheme, dense and banded, interpret mode."""
+    mt_np = cm.resample_matrix(CFG).T
+    segs = ck.band_segments(mt_np)
+    n, b = 16, mt_np.shape[0]
+    left = jnp.asarray(np.abs(rng.standard_normal((n, b))).astype(np.float32) * 0.01)
+    right = jnp.asarray(np.abs(rng.standard_normal((n, b))).astype(np.float32) * 0.01)
+    mt = jnp.asarray(mt_np)
+    all_tabs = ck.builtin_color_tables(32)
+    for pid in (1, 17):       # Magma (mono), a stereo scheme
+        tabs = jnp.asarray(all_tabs)[np.full(n, pid)]
+        static = tuple(float(v) for v in all_tabs[pid])
+        ref_d = np.asarray(ck.colormap_planes_builtin(
+            left, right, tabs, mt, CFG, interpret=True))
+        got_d = np.asarray(ck.colormap_planes_builtin(
+            left, right, None, mt, CFG, interpret=True, static_table=static))
+        np.testing.assert_array_equal(ref_d, got_d)
+        ref_b = np.asarray(ck.colormap_planes_banded(
+            left, right, tabs, mt, CFG, segs, interpret=True))
+        got_b = np.asarray(ck.colormap_planes_banded(
+            left, right, None, mt, CFG, segs, interpret=True,
+            static_table=static))
+        np.testing.assert_array_equal(ref_b, got_b)

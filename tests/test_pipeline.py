@@ -333,3 +333,45 @@ def test_transposed_carry_matches_planar(rng, tmp_path):
         ck.colormap_planes_builtin = orig_ck
         sk.stft_mag_fused2 = orig_sk
         sk.stft_mag_fused2_t = orig_skt
+
+
+def test_static_palette_matches_dynamic(rng):
+    """static_palette (baked-LUT single-palette kernels) must emit exactly
+    the bytes of the dynamic per-row path with every stream on that
+    palette; set_palette refuses (switching = new pipeline)."""
+    import pytest
+
+    p_dyn = make_pipeline(packed_output=True)
+    p_st = make_pipeline(packed_output=True, static_palette="Viridis")
+    pid = p_dyn.scheme_names.index("Viridis")
+    assert p_st.static_palette_id == pid
+    chunk = rng.standard_normal((3, p_dyn.chunk_size, 2)).astype(np.float32) * 0.2
+    s_dyn = p_dyn.init_state(3, palette_id=pid)
+    s_st = p_st.init_state(3)          # pinned to Viridis by construction
+    s_dyn, out_dyn = p_dyn.push(s_dyn, jnp.asarray(chunk))
+    s_st, out_st = p_st.push(s_st, jnp.asarray(chunk))
+    np.testing.assert_array_equal(np.asarray(out_dyn), np.asarray(out_st))
+    # one-shot path agrees too
+    np.testing.assert_array_equal(
+        np.asarray(p_dyn.process(jnp.asarray(chunk), palette_id=pid)),
+        np.asarray(p_st.process(jnp.asarray(chunk))),
+    )
+    with pytest.raises(ValueError, match="static_palette"):
+        p_st.set_palette(s_st, 2)
+
+
+def test_static_palette_stereo_and_validation(rng):
+    import pytest
+
+    p = make_pipeline(packed_output=True,
+                      static_palette="Blue-Yellow-Red (Stereo)")
+    chunk = rng.standard_normal((2, p.chunk_size, 2)).astype(np.float32) * 0.2
+    s = p.init_state(2)
+    _, out = p.push(s, jnp.asarray(chunk))
+    ref = make_pipeline(packed_output=True)
+    pid = ref.scheme_names.index("Blue-Yellow-Red (Stereo)")
+    s2 = ref.init_state(2, palette_id=pid)
+    _, out_ref = ref.push(s2, jnp.asarray(chunk))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    with pytest.raises(ValueError, match="out of range"):
+        make_pipeline(static_palette=99)
