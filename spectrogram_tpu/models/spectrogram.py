@@ -414,16 +414,23 @@ class SpectrogramPipeline:
             # channel extraction copies of the 3D-buf formulation (1.2 ms
             # at 10,240 streams, profiler-measured round 2) never exist.
             c = self.carry_size
+            t = self.chunk_size
             buf_l = jnp.concatenate(
                 [state.carry[:, 0, :], chunk_pl[:, 0, :]], axis=1
             )                                                  # [S, C+T]
             buf_r = jnp.concatenate(
                 [state.carry[:, 1, :], chunk_pl[:, 1, :]], axis=1
             )
-            tlen = buf_l.shape[1]
-            new_carry = jnp.stack(
-                [buf_l[:, tlen - c:], buf_r[:, tlen - c:]], axis=1
-            )
+            # next carry = last C samples of the buffer, built from the
+            # SOURCES (old-carry tail + chunk) rather than slices of buf:
+            # same bytes, but no dependency on the materialized buf planes
+            # (drops one stack pass from the 10k framing glue)
+            if t >= c:
+                new_carry = chunk_pl[:, :, t - c:]
+            else:
+                new_carry = jnp.concatenate(
+                    [state.carry[:, :, t:], chunk_pl], axis=2
+                )
             return self._push_fused(state, buf_l, buf_r, new_carry)
         buf = jnp.concatenate([state.carry, chunk_pl], axis=2)    # [S, 2, C+T]
         new_carry = buf[:, :, buf.shape[2] - self.carry_size :]
