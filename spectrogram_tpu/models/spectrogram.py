@@ -277,11 +277,6 @@ class SpectrogramPipeline:
         self.static_table = None
         self.static_palette_id = None
         if static_palette is not None:
-            if self.builtin_tables is None:
-                raise ValueError(
-                    "static_palette requires every scheme to fit the "
-                    "built-in mono/stereo LUT structure"
-                )
             pid = (
                 static_palette
                 if isinstance(static_palette, int)
@@ -290,10 +285,19 @@ class SpectrogramPipeline:
             if not 0 <= pid < len(self.schemes):
                 raise ValueError(f"static_palette {static_palette!r} out of range")
             self.static_palette_id = int(pid)
-            self.static_table = tuple(
-                float(v)
-                for v in cmap_kernel.builtin_color_tables(res, self.schemes)[pid]
-            )
+            if self.builtin_tables is not None:
+                self.static_table = tuple(
+                    float(v)
+                    for v in cmap_kernel.builtin_color_tables(res, self.schemes)[pid]
+                )
+            else:
+                # generic registry (user-defined FactoredSchemes): bake the
+                # two factor rows — static generic kernel
+                gu, gv = cmap_kernel.generic_color_tables(res, self.schemes)
+                self.static_table = (
+                    tuple(float(v) for v in gu[pid]),
+                    tuple(float(v) for v in gv[pid]),
+                )
         # precision_profile: "exact" pins true-f32 matmuls everywhere (the
         # parity contract vs the reference's f32 pipeline).  "fast" relaxes
         # ONLY the colormap resample matmul to the MXU's native bf16 passes:

@@ -469,11 +469,56 @@ def _static_builtin_kernel(
         )
 
 
+def _static_generic_kernel(
+    left_ref, right_ref, mat_ref, out_ref, *,
+    u_row: tuple, v_row: tuple,
+    min_db: float, max_db: float, db_eps: float, res: int,
+    precision, subtile: int,
+):
+    """Single-palette GENERIC (two-axis factored) colormap with both LUT
+    factors baked as compile-time scalars — the static fast path for
+    user-defined FactoredSchemes outside the built-in mono/stereo shape."""
+    left = left_ref[:]
+    right = right_ref[:]
+    h = mat_ref.shape[1]
+    for hc in range(h // subtile):
+        sl = slice(hc * subtile, (hc + 1) * subtile)
+        pl_ = jnp.dot(left, mat_ref[:, sl], preferred_element_type=jnp.float32,
+                      precision=precision)
+        pr_ = jnp.dot(right, mat_ref[:, sl], preferred_element_type=jnp.float32,
+                      precision=precision)
+        power = pl_ * pl_ + pr_ * pr_
+        db = 10.0 * jnp.log10(power + db_eps)
+        mag = (db - min_db) / (max_db - min_db)
+        denom = pl_ + pr_
+        pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
+        xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+        xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+        cu = [jnp.zeros(xu.shape, jnp.float32) for _ in range(4)]
+        cv = [jnp.zeros(xu.shape, jnp.float32) for _ in range(4)]
+        for t in range(res):
+            wu = jnp.clip(1.0 - jnp.abs(xu - t), 0.0, 1.0)
+            wv = jnp.clip(1.0 - jnp.abs(xv - t), 0.0, 1.0)
+            for c in range(4):
+                if (uv := float(u_row[t * 4 + c])) != 0.0:
+                    cu[c] = cu[c] + wu * uv
+                if (vv := float(v_row[t * 4 + c])) != 0.0:
+                    cv[c] = cv[c] + wv * vv
+
+        def q(c):
+            return jnp.clip(
+                jnp.round(cu[c] * cv[c] * 255.0), 0.0, 255.0
+            ).astype(jnp.int32)
+
+        out_ref[:, sl] = q(0) | (q(1) << 8) | (q(2) << 16) | (q(3) << 24)
+
+
 def _tables_kernel_and_operands(color_tables, *, kw, subtile):
     """Dispatch on the table format: a single [N, R*4] array selects the
     specialized built-in kernel; a (u_flat, v_flat) JAX-array tuple selects
     the generic two-table kernel; a plain PYTHON tuple of floats (length
-    R*4) selects the static single-palette kernel with no table operand.
+    R*4) selects the static single-palette kernel with no table operand;
+    a pair of float tuples selects the static GENERIC kernel.
     Returns (kernel_fn, [table operands], res)."""
     if isinstance(color_tables, tuple) and color_tables and isinstance(
         color_tables[0], float
@@ -481,6 +526,20 @@ def _tables_kernel_and_operands(color_tables, *, kw, subtile):
         res = len(color_tables) // 4
         kernel = functools.partial(
             _static_builtin_kernel, table=color_tables, res=res,
+            subtile=subtile, **kw
+        )
+        return kernel, [], res
+    if (
+        isinstance(color_tables, tuple)
+        and len(color_tables) == 2
+        and isinstance(color_tables[0], tuple)
+        and color_tables[0]
+        and isinstance(color_tables[0][0], float)
+    ):
+        u_row, v_row = color_tables
+        res = len(u_row) // 4
+        kernel = functools.partial(
+            _static_generic_kernel, u_row=u_row, v_row=v_row, res=res,
             subtile=subtile, **kw
         )
         return kernel, [], res

@@ -172,3 +172,27 @@ def test_factored_scheme_validation():
     lut = s.lookup_table(32)
     u, v = s.factored_tables(32)
     np.testing.assert_allclose(lut, u[:, None, :] * v[None, :, :])
+
+
+def test_static_palette_generic_scheme(rng):
+    """static_palette works for a registry containing a FactoredScheme
+    outside the built-in structure (the static GENERIC kernel: both LUT
+    factor rows baked as compile-time scalars), matching the dynamic
+    per-row generic path byte for byte."""
+    schemes = DEFAULT_COLOR_SCHEMES + (_nonseparable_builtin_scheme(),)
+    pid = len(schemes) - 1
+    kw = dict(chunk_hops=2, viewport_rows=8, schemes=schemes,
+              store_ring=False, packed_output=True, colormap_backend="pallas",
+              kernel_interpret=True)
+    dyn = SpectrogramPipeline(CFG, **kw)
+    st = SpectrogramPipeline(CFG, static_palette=pid, **kw)
+    assert dyn.builtin_tables is None
+    assert isinstance(st.static_table, tuple) and len(st.static_table) == 2
+    chunk = jnp.asarray(
+        rng.standard_normal((2, dyn.chunk_size, 2)).astype(np.float32) * 0.3
+    )
+    s_d = dyn.init_state(2, palette_id=pid)
+    s_s = st.init_state(2)
+    _, out_d = dyn.push(s_d, chunk)
+    _, out_s = st.push(s_s, chunk)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
