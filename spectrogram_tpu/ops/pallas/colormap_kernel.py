@@ -75,6 +75,30 @@ def _auto_blocks(b: int, block_rows, block_cols) -> tuple[int, int]:
     return (block_rows or auto[0], block_cols or auto[1])
 
 
+def _resample_and_laws(left, right, mat_tile, *, min_db, max_db, db_eps,
+                       res, precision):
+    """Shared front half of every colormap kernel: the two resample dots
+    (MXU), the dB + pan laws (shader :177-182), and the texel-space LUT
+    coordinates.  One definition so the law stays bit-identical across the
+    per-row, generic, and static kernel variants.  Returns (xu, xv)."""
+    pl_ = jnp.dot(
+        left, mat_tile, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    pr_ = jnp.dot(
+        right, mat_tile, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    power = pl_ * pl_ + pr_ * pr_
+    db = 10.0 * jnp.log10(power + db_eps)
+    mag = (db - min_db) / (max_db - min_db)
+    denom = pl_ + pr_
+    pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
+    xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+    xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+    return xu, xv
+
+
 def _kernel(
     left_ref,    # [TS, B] f32 magnitude rows, left channel
     right_ref,   # [TS, B] f32, right channel
@@ -90,24 +114,12 @@ def _kernel(
     precision,
     packed: bool,
 ):
-    # 1. log-frequency resample as matmul (MXU)
-    pl_ = jnp.dot(
-        left_ref[:], mat_ref[:], preferred_element_type=jnp.float32,
-        precision=precision,
+    # resample matmul (MXU) + dB/pan laws + texel coords, then the
+    # factored-LUT segment-tent evaluation
+    xu, xv = _resample_and_laws(
+        left_ref[:], right_ref[:], mat_ref[:], min_db=min_db, max_db=max_db,
+        db_eps=db_eps, res=res, precision=precision,
     )
-    pr_ = jnp.dot(
-        right_ref[:], mat_ref[:], preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    # 2. dB + pan laws (VPU)
-    power = pl_ * pl_ + pr_ * pr_
-    db = 10.0 * jnp.log10(power + db_eps)
-    mag = (db - min_db) / (max_db - min_db)
-    denom = pl_ + pr_
-    pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
-    # 3. factored LUT: texel-space coords + segment-tent evaluation
-    xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
-    xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
     cu = _tent_lut_channels(xu, u_ref, (0, 1, 2, 3), res)
     cv = _tent_lut_channels(xv, v_ref, (0, 1, 2, 3), res)
     # 4. combine + quantize
@@ -323,21 +335,10 @@ def _builtin_word_tile(left, right, mat_tile, tab_ref, stereo, *,
     """[TS, B] magnitude planes x [B, P] matrix tile -> [TS, P] packed RGBA
     words (pure value math; shared by the standalone colormap kernels and
     the merged STFT+colormap push kernel)."""
-    pl_ = jnp.dot(
-        left, mat_tile, preferred_element_type=jnp.float32,
-        precision=precision,
+    xu, xv = _resample_and_laws(
+        left, right, mat_tile, min_db=min_db, max_db=max_db,
+        db_eps=db_eps, res=res, precision=precision,
     )
-    pr_ = jnp.dot(
-        right, mat_tile, preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    power = pl_ * pl_ + pr_ * pr_
-    db = 10.0 * jnp.log10(power + db_eps)
-    mag = (db - min_db) / (max_db - min_db)
-    denom = pl_ + pr_
-    pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
-    xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
-    xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
     x_color = stereo * xv + (1.0 - stereo) * xu
     rgb = _tent_lut_channels(x_color, tab_ref, (0, 1, 2), res)
     alpha = stereo * (xu * (1.0 / (res - 1))) + (1.0 - stereo)
@@ -384,21 +385,10 @@ def _generic_word_tile(left, right, mat_tile, u_ref, v_ref, *,
     """[TS, B] planes x [B, P] matrix tile -> [TS, P] packed RGBA words via
     the full two-axis factored LUT (exact clamped-bilinear sample of
     LUT[i,j,c] = U[i,c]*V[j,c]; same math as `_kernel`, packed-only)."""
-    pl_ = jnp.dot(
-        left, mat_tile, preferred_element_type=jnp.float32,
-        precision=precision,
+    xu, xv = _resample_and_laws(
+        left, right, mat_tile, min_db=min_db, max_db=max_db,
+        db_eps=db_eps, res=res, precision=precision,
     )
-    pr_ = jnp.dot(
-        right, mat_tile, preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    power = pl_ * pl_ + pr_ * pr_
-    db = 10.0 * jnp.log10(power + db_eps)
-    mag = (db - min_db) / (max_db - min_db)
-    denom = pl_ + pr_
-    pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
-    xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
-    xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
     cu = _tent_lut_channels(xu, u_ref, (0, 1, 2, 3), res)
     cv = _tent_lut_channels(xv, v_ref, (0, 1, 2, 3), res)
 
@@ -438,17 +428,10 @@ def _static_builtin_kernel(
     h = mat_ref.shape[1]
     for hc in range(h // subtile):
         sl = slice(hc * subtile, (hc + 1) * subtile)
-        pl_ = jnp.dot(left, mat_ref[:, sl], preferred_element_type=jnp.float32,
-                      precision=precision)
-        pr_ = jnp.dot(right, mat_ref[:, sl], preferred_element_type=jnp.float32,
-                      precision=precision)
-        power = pl_ * pl_ + pr_ * pr_
-        db = 10.0 * jnp.log10(power + db_eps)
-        mag = (db - min_db) / (max_db - min_db)
-        denom = pl_ + pr_
-        pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
-        xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
-        xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+        xu, xv = _resample_and_laws(
+            left, right, mat_ref[:, sl], min_db=min_db, max_db=max_db,
+            db_eps=db_eps, res=res, precision=precision,
+        )
         x_color = xv if stereo else xu
         rgb = [jnp.zeros(xu.shape, jnp.float32) for _ in range(3)]
         for t in range(res):
@@ -483,17 +466,10 @@ def _static_generic_kernel(
     h = mat_ref.shape[1]
     for hc in range(h // subtile):
         sl = slice(hc * subtile, (hc + 1) * subtile)
-        pl_ = jnp.dot(left, mat_ref[:, sl], preferred_element_type=jnp.float32,
-                      precision=precision)
-        pr_ = jnp.dot(right, mat_ref[:, sl], preferred_element_type=jnp.float32,
-                      precision=precision)
-        power = pl_ * pl_ + pr_ * pr_
-        db = 10.0 * jnp.log10(power + db_eps)
-        mag = (db - min_db) / (max_db - min_db)
-        denom = pl_ + pr_
-        pan = jnp.where(denom != 0.0, pr_ / jnp.where(denom != 0.0, denom, 1.0), 0.5)
-        xu = jnp.clip(jnp.clip(mag, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
-        xv = jnp.clip(jnp.clip(pan, 0.0, 1.0) * res - 0.5, 0.0, res - 1.0)
+        xu, xv = _resample_and_laws(
+            left, right, mat_ref[:, sl], min_db=min_db, max_db=max_db,
+            db_eps=db_eps, res=res, precision=precision,
+        )
         cu = [jnp.zeros(xu.shape, jnp.float32) for _ in range(4)]
         cv = [jnp.zeros(xu.shape, jnp.float32) for _ in range(4)]
         for t in range(res):
