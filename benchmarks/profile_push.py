@@ -89,6 +89,11 @@ def main():
         packed_output=True,
         precision_profile=precision,
         stft_backend=backend,
+        # PROFILE_STATIC_PALETTE=<name|index>: profile the single-palette
+        # baked-LUT configuration
+        static_palette=(
+            int(sp) if sp.lstrip("-").isdigit() else sp
+        ) if (sp := os.environ.get("PROFILE_STATIC_PALETTE", "")) else None,
     )
     print(
         f"streams={n_streams} precision={precision} fused={pipeline.fused_chain} "
