@@ -42,6 +42,14 @@ def __getattr__(name):
         from spectrogram_tpu.io.feeder import DeviceFeeder
 
         return DeviceFeeder
+    if name == "ChunkPool":
+        from spectrogram_tpu.io.feeder import ChunkPool
+
+        return ChunkPool
+    if name == "FactoredScheme":
+        from spectrogram_tpu.color.colorscheme import FactoredScheme
+
+        return FactoredScheme
     raise AttributeError(name)
 
 __version__ = "0.1.0"
@@ -67,5 +75,7 @@ __all__ = [
     "LiveSession",
     "StreamGroupManager",
     "DeviceFeeder",
+    "ChunkPool",
+    "FactoredScheme",
     "__version__",
 ]
