@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -141,4 +142,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--smoke" in sys.argv[1:]:
+        # one-command on-hardware regression gate: compile+run every pinned
+        # geometry/kernel class (see spectrogram_tpu/smoke.py); exit code
+        # red/green.  The throughput bench below is NOT run in smoke mode.
+        from spectrogram_tpu.smoke import main as smoke_main
+
+        sys.exit(smoke_main())
     main()

@@ -176,8 +176,8 @@ def cmd_live(args) -> int:
                         new = (int(state.palette_id[focus]) + step) % len(
                             pipeline.schemes
                         )
-                        state = state._replace(
-                            palette_id=state.palette_id.at[focus].set(new)
+                        state = pipeline.set_palette(
+                            state, state.palette_id.at[focus].set(new)
                         )
                     elif key == "s":  # source cycle mid-run
                         src_i = (src_i + 1) % len(source_kinds)
@@ -234,7 +234,9 @@ def cmd_live(args) -> int:
                     state, rgba = pipeline.push(state, jnp.asarray(chunk))
                     np.asarray(rgba[0, 0, 0])
                 total_rows += args.streams * pipeline.chunk_hops
-    viewport = np.asarray(pipeline.render_viewport(state))[0]
+    viewport = np.asarray(
+        pipeline.render_viewport(state, width=args.render_width)
+    )[0]
     rgb = np.asarray(pipeline.composite(viewport[None][None], state.palette_id[:1]))
     save_png(args.output, np.asarray(rgb)[0, 0])
     print(
@@ -270,8 +272,8 @@ def _live_view_multirate(args) -> int:
         hop_period=args.hop,
         viewport_height=args.height,
     )
-    # second group: same periods at 2/3 the rate (44.1k against the default
-    # 48k -> different window/hop sample counts, its own pipeline + cadence)
+    # second group: same periods at 2/3 the rate (32 kHz against the default
+    # 48 kHz -> different window/hop sample counts, its own pipeline + cadence)
     cfg_b = SpectrogramConfig(
         sample_rate=args.sample_rate * 2.0 / 3.0,
         window_period=args.window,
@@ -305,15 +307,20 @@ def _live_view_multirate(args) -> int:
     with TerminalViewer() as tv:
         frame_h, frame_w = tv.rows * 2, tv.cols
         next_frame = time.time()
-        last = time.time()
+        # Per-source cumulative sample clocks: n = int(elapsed * rate) -
+        # produced keeps truncation error bounded at < 1 sample forever (a
+        # per-iteration int((now-last)*rate) drops a fraction every loop and
+        # starves the slower group into zero-filled silence).
+        t_start = time.time()
+        produced = {sid: 0 for sid in srcs}
         while time.time() < t_end:
             now = time.time()
-            n_frames = int((now - last) * args.sample_rate)
-            last = now
+            elapsed = now - t_start
             for sid, src in srcs.items():
                 cfg, _ = mgr.location(sid)
-                n = int(n_frames * cfg.sample_rate / args.sample_rate)
+                n = int(elapsed * cfg.sample_rate) - produced[sid]
                 if n:
+                    produced[sid] += n
                     pcm = src.next_block(n)
                     mgr.push_pcm(
                         sid, (np.clip(pcm, -1, 1) * 32767.0).astype(np.int16)
@@ -462,6 +469,13 @@ def main(argv=None) -> int:
              "each advancing at its own hop cadence (StreamGroupManager)",
     )
     p_live.add_argument("--fps", type=_positive_float, default=20.0)
+    p_live.add_argument(
+        "--render-width", type=int, default=None, dest="render_width",
+        help="time-axis width (px) of the final viewport PNG: device-side "
+             "bilinear rescale matching the GL sampler law "
+             "(gpu_spectrogram.rs:166-174; any widget size renders the "
+             "whole ring)",
+    )
     common(p_live)
     p_live.set_defaults(fn=cmd_live)
 

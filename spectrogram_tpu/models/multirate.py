@@ -134,8 +134,13 @@ class StreamGroupManager:
         group.stream_ids[slot] = stream_id
         self._locations[stream_id] = (cfg, slot)
         st = self._state(group)
+        # through pipeline.set_palette (not a raw _replace): the state's
+        # pre-picked kernel tables must track palette_id
         self._set_state(
-            group, st._replace(palette_id=st.palette_id.at[slot].set(palette_id))
+            group,
+            group.pipeline.set_palette(
+                st, st.palette_id.at[slot].set(palette_id)
+            ),
         )
         return stream_id
 
@@ -181,7 +186,10 @@ class StreamGroupManager:
         group = self._groups[cfg]
         st = self._state(group)
         self._set_state(
-            group, st._replace(palette_id=st.palette_id.at[slot].set(palette_id))
+            group,
+            group.pipeline.set_palette(
+                st, st.palette_id.at[slot].set(palette_id)
+            ),
         )
 
     # -- ingest mode ------------------------------------------------------------

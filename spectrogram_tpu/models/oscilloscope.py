@@ -66,12 +66,23 @@ class Oscilloscope:
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def envelope(self, state: ScopeState, width: int = 1024) -> jax.Array:
         """[S, width, 2, 2] (min, max) per pixel column per channel, in
-        chronological order (oldest sample left)."""
-        if self.buffer_size % width:
-            raise ValueError("width must divide buffer_size")
+        chronological order (oldest sample left).
+
+        Any width <= buffer_size works: each column covers
+        buffer_size // width samples, and when width does not divide
+        buffer_size the envelope spans the NEWEST width * (buffer_size //
+        width) samples (the oldest sliver is dropped — the buffer is
+        rounded up to a push multiple, so the display window is an
+        approximation of the full ring by at most one column's worth)."""
+        if not 0 < width <= self.buffer_size:
+            raise ValueError(
+                f"width must be in 1..{self.buffer_size}, got {width}"
+            )
+        per_col = self.buffer_size // width
         ordered = jnp.roll(state.ring, -state.cursor, axis=1)
+        ordered = ordered[:, self.buffer_size - width * per_col :]
         s = ordered.shape[0]
-        grouped = ordered.reshape(s, width, self.buffer_size // width, 2)
+        grouped = ordered.reshape(s, width, per_col, 2)
         return jnp.stack(
             [grouped.min(axis=2), grouped.max(axis=2)], axis=-1
         )

@@ -60,6 +60,14 @@ class StreamState(NamedTuple):
     cursor: jax.Array     # [] int32 — next write row (gpu_spectrogram.rs `offset`)
     palette_id: jax.Array # [S] int32 — per-stream palette index
     row_count: jax.Array  # [] int32 — total rows produced since init
+    # Pre-picked per-stream colormap kernel tables, refreshed by
+    # init_state/set_palette — NOT by every push (the reference uploads its
+    # palette texture once at set time, gpu_spectrogram.rs:232-239, and so
+    # do we; round-3 profiling showed the per-push one-hot pick + tile cost
+    # ~0.25 ms at 10k streams).  () = static-palette pipelines (LUT baked
+    # into the kernel) and legacy states (push falls back to picking).
+    # 1-tuple ([S, R*4],) for the built-in registry, 2-tuple (u, v) generic.
+    tables: tuple = ()
 
 
 class SpectrogramPipeline:
@@ -196,8 +204,22 @@ class SpectrogramPipeline:
         # more than the copies they replace.  DESIGN.md kernel ledger.
         from spectrogram_tpu.ops.pallas import stft_kernel as _sk
 
+        # Padded-lane flip (round 4): plans whose n2 fails the direct
+        # n2 % 128 Mosaic gate run the fused STFT with zero-padded stage-1
+        # constants (n2 -> n2p lane tiles, physically free) so the fast
+        # flipped stage 2 applies — the reference-native 2400/4800 geometry
+        # (fft.rs:33,44) was the one plan family stuck on the slow
+        # orientation.  The kernel then emits the PADDED bin layout
+        # (position k1*n2p + k2; pad positions exact zero) and the resample
+        # matrix is row-expanded to consume it with zero slicing passes.
+        self.stft_lane_pad = (
+            self.fused_chain
+            and self.fft_plan is not None
+            and _sk.lane_pad_default(self.fft_plan)
+        )
         self.carry_transposed = bool(transposed_carry) and (
             self.fused_chain
+            and not self.stft_lane_pad
             and _sk.carry_transposed_supported(cfg, self.fft_plan)
             and not (
                 self.chunk_hops > 1
@@ -210,6 +232,8 @@ class SpectrogramPipeline:
                 f"hop % n1 == 0 (cfg {cfg}, plan {self.fft_plan})"
             )
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
+        if self.stft_lane_pad:
+            resample_full_t = self._pad_resample_rows(resample_full_t)
         self.resample_t_full = jnp.asarray(resample_full_t)
         # Banded colormap plan: the two-tap resample matrix lets each pixel
         # tile contract only its narrow bin band (~17% of the dense FLOPs at
@@ -318,6 +342,29 @@ class SpectrogramPipeline:
             else jax.lax.Precision.DEFAULT
         )
 
+    def _pad_resample_rows(self, resample_t: "np.ndarray") -> "np.ndarray":
+        """Row-expand a [half, H] resample matrix to the padded bin layout
+        [k1h * n2p, H] (row k1*n2p + k2 = true bin k1*n2 + k2; pad rows
+        zero) — the magnitude positions the lane-padded STFT kernel emits."""
+        from spectrogram_tpu.ops.pallas.stft_kernel import padded_n2
+
+        plan = self.fft_plan
+        n2, n2p, k1h = plan.n2, padded_n2(plan), plan.n1 // 2
+        out = np.zeros((k1h * n2p, resample_t.shape[1]), resample_t.dtype)
+        out.reshape(k1h, n2p, -1)[:, :n2] = resample_t.reshape(k1h, n2, -1)
+        return out
+
+    def _unpad_mag(self, mag: jax.Array) -> jax.Array:
+        """[N, k1h*n2p] padded-layout magnitudes -> [N, half] true-bin
+        layout (one slice-copy; only the store_ring path needs it)."""
+        from spectrogram_tpu.ops.pallas.stft_kernel import padded_n2
+
+        plan = self.fft_plan
+        n2, n2p, k1h = plan.n2, padded_n2(plan), plan.n1 // 2
+        return mag.reshape(-1, k1h, n2p)[:, :, :n2].reshape(
+            mag.shape[0], k1h * n2
+        )
+
     # ------------------------------------------------------------------ state
 
     def init_state(self, n_streams: int, palette_id: int = 1) -> StreamState:
@@ -334,19 +381,24 @@ class SpectrogramPipeline:
             )
         else:
             carry = jnp.zeros((n_streams, 2, self.carry_size), jnp.float32)
+        pid = jnp.full((n_streams,), palette_id, jnp.int32)
         return StreamState(
             carry=carry,
             ring=jnp.zeros(
                 (n_streams, ring_rows, 2, cfg.num_bins), self.ring_dtype
             ),
             cursor=jnp.zeros((), jnp.int32),
-            palette_id=jnp.full((n_streams,), palette_id, jnp.int32),
+            palette_id=pid,
             row_count=jnp.zeros((), jnp.int32),
+            tables=self.state_tables_for(pid),
         )
 
     def set_palette(self, state: StreamState, palette_id) -> StreamState:
         """Runtime palette switch (per stream or broadcast) — a pure state
-        update, the analog of the `palette` GObject property (main.rs:102-104)."""
+        update, the analog of the `palette` GObject property (main.rs:102-104).
+        Also re-picks the per-stream kernel tables (the analog of the
+        reference's one-time palette texture upload): the push itself never
+        touches the palette registry."""
         if self.static_table is not None:
             raise ValueError(
                 "this pipeline bakes static_palette="
@@ -354,10 +406,36 @@ class SpectrogramPipeline:
                 "kernels; runtime switching needs a pipeline without "
                 "static_palette (or a new pipeline per palette)"
             )
+        ids = np.asarray(palette_id) if not isinstance(palette_id, jax.Array) else None
+        if ids is not None and (
+            ids.min() < 0 or ids.max() >= len(self.schemes)
+        ):
+            raise ValueError(
+                f"palette_id {palette_id!r} out of range 0..{len(self.schemes) - 1}"
+            )
         pid = jnp.broadcast_to(
             jnp.asarray(palette_id, jnp.int32), state.palette_id.shape
         )
-        return state._replace(palette_id=pid)
+        return state._replace(palette_id=pid, tables=self.state_tables_for(pid))
+
+    def state_tables_for(self, palette_id: jax.Array) -> tuple:
+        """The pre-picked kernel-table tuple for a [S] palette-id array:
+        () for static-palette pipelines, ([S, R*4],) built-in registry,
+        (u, v) generic.  Ids are clamped to the registry (an out-of-range id
+        under the old per-push one-hot rendered black; the reference's GL
+        sampler clamps, ADVICE r3)."""
+        if self.static_table is not None:
+            return ()
+        pid = jnp.clip(palette_id, 0, len(self.schemes) - 1)
+
+        def pick(t):
+            onehot = jax.nn.one_hot(pid, t.shape[0], dtype=t.dtype)
+            return jnp.dot(onehot, t, precision=jax.lax.Precision.HIGHEST)
+
+        if self.builtin_tables is not None:
+            return (pick(self.builtin_tables),)
+        u, v = self.generic_tables
+        return (pick(u), pick(v))
 
     # ------------------------------------------------------------------- push
 
@@ -450,13 +528,16 @@ class SpectrogramPipeline:
             ring = state.ring
         cursor = (state.cursor + k) % self.viewport_rows
 
-        rgba_u8 = self._colormap_u8(rows, state.palette_id)
+        rgba_u8 = self._colormap_u8(
+            rows, state.palette_id, picked=self._state_tables(state)
+        )
         new_state = StreamState(
             carry=new_carry,
             ring=ring,
             cursor=cursor,
             palette_id=state.palette_id,
             row_count=state.row_count + k,
+            tables=state.tables,
         )
         return new_state, rgba_u8
 
@@ -471,7 +552,11 @@ class SpectrogramPipeline:
         k = self.chunk_hops
         s = buf_l.shape[0]
         w, h = cfg.window_size, cfg.hop_size
-        if k > 1 and stft_kernel.buf_framing_supported(cfg, k, self.fft_plan):
+        if (
+            k > 1
+            and not self.stft_lane_pad
+            and stft_kernel.buf_framing_supported(cfg, k, self.fft_plan)
+        ):
             # Zero-copy framing: the kernel DMAs each hop-shifted window out
             # of the channel planes via element-offset BlockSpecs — avoids
             # materializing k overlapping [S, W] window planes.
@@ -494,7 +579,9 @@ class SpectrogramPipeline:
                 precision=self.precision_stft,
                 interpret=self.kernel_interpret, plan=self.fft_plan,
                 block_rows=self.stft_block_rows,
-            )  # [S*k, N/2] incl DC
+                lane_pad=self.stft_lane_pad,
+                padded_layout=self.stft_lane_pad,
+            )  # [S*k, N/2] incl DC (padded bin layout when stft_lane_pad)
         return self._fused_tail(state, mag_l, mag_r, new_carry, s)
 
     def _push_fused_t(self, state: StreamState, chunk_pl: jax.Array):
@@ -540,7 +627,10 @@ class SpectrogramPipeline:
         if self.static_table is not None:
             tabs, static = None, self.static_table
         else:
-            tabs, static = self._kernel_tables(state.palette_id, k, order="tile"), None
+            # Pre-picked [S, R*4] tables straight from the state; the kernel
+            # re-reads the stream-s block for every window r via a modular
+            # index map (table_period) — no per-push pick, no k-expansion.
+            tabs, static = self._state_tables(state), None
         if self.cmap_segments_full is not None:
             packed = cmap_kernel.colormap_planes_banded(
                 mag_l, mag_r, tabs, self.resample_t_full, cfg,
@@ -548,6 +638,7 @@ class SpectrogramPipeline:
                 precision=self.precision_cmap,
                 interpret=self.kernel_interpret,
                 static_table=static,
+                table_period=s,
             )                                                 # [S*k, H]
         else:
             packed = cmap_kernel.colormap_planes_builtin(
@@ -555,12 +646,15 @@ class SpectrogramPipeline:
                 precision=self.precision_cmap,
                 interpret=self.kernel_interpret,
                 static_table=static,
+                table_period=s,
             )                                                 # [S*k, H]
         if k > 1:
             packed = packed.reshape(k, s, -1).swapaxes(0, 1)  # [S, k, H]
         else:
             packed = packed.reshape(s, 1, -1)
         if self.store_ring:
+            if self.stft_lane_pad:
+                mag_l, mag_r = self._unpad_mag(mag_l), self._unpad_mag(mag_r)
             rows_pl = jnp.stack(
                 [mag_l[:, 1 : w], mag_r[:, 1 : w]], axis=1
             )  # [S*k, 2, B]
@@ -578,34 +672,41 @@ class SpectrogramPipeline:
         new_state = StreamState(
             carry=new_carry, ring=ring, cursor=cursor,
             palette_id=state.palette_id, row_count=state.row_count + k,
+            tables=state.tables,
         )
         out = packed if self.packed_output else _unpack_rgba_device(packed)
         return new_state, out
+
+    def _state_tables(self, state: StreamState):
+        """The state's pre-picked kernel tables in entry-point form
+        ([S, R*4] array or (u, v) tuple).  States from before the hoist
+        (or hand-built in tests) carry tables=(): fall back to picking from
+        palette_id on the fly — the round-3 behavior."""
+        if self.static_table is not None:
+            return None
+        tabs = state.tables or self.state_tables_for(state.palette_id)
+        return tabs[0] if len(tabs) == 1 else tabs
 
     def _kernel_tables(self, palette_id: jax.Array, k: int, order: str):
         """Per-row colormap-kernel table operand(s) for `palette_id` [N]:
         a single [N*k, R*4] array (built-in registry) or a (u, v) tuple
         (generic two-table kernel).  `order` matches the caller's row
         layout for k > 1: "tile" = window-major ([r0 streams.., r1 ..],
-        the fused chain), "repeat" = stream-major (reshape(s*k) layouts)."""
-        def expand(t):
-            if k == 1:
-                return t
-            return jnp.tile(t, (k, 1)) if order == "tile" else jnp.repeat(t, k, axis=0)
+        the fused chain), "repeat" = stream-major (reshape(s*k) layouts).
 
-        # One-hot matmul instead of a row gather: bitwise-exact (0/1
-        # weights pick exact rows) and rides the MXU.  Profiled ~neutral at
-        # 10k streams (-0.03 ms) — kept because the gather lowering is the
-        # known TPU hazard class (CLAUDE.md perf invariants) and this form
-        # is robust to it across geometries.
-        def pick(t):
-            onehot = jax.nn.one_hot(palette_id, t.shape[0], dtype=t.dtype)
-            return jnp.dot(onehot, t, precision=jax.lax.Precision.HIGHEST)
+        One-hot matmul instead of a row gather: bitwise-exact (0/1 weights
+        pick exact rows) and rides the MXU (the gather lowering is the known
+        TPU hazard class, CLAUDE.md perf invariants).  Hot paths no longer
+        call this per push — tables live pre-picked in StreamState."""
+        tabs = self.state_tables_for(palette_id)
+        tabs = tuple(self._expand_tables(t, k, order) for t in tabs)
+        return tabs[0] if len(tabs) == 1 else tabs
 
-        if self.builtin_tables is not None:
-            return expand(pick(self.builtin_tables))
-        u, v = self.generic_tables
-        return (expand(pick(u)), expand(pick(v)))
+    @staticmethod
+    def _expand_tables(t: jax.Array, k: int, order: str) -> jax.Array:
+        if k == 1:
+            return t
+        return jnp.tile(t, (k, 1)) if order == "tile" else jnp.repeat(t, k, axis=0)
 
     def _stft(self, pcm: jax.Array) -> jax.Array:
         """[S, T, 2] interleaved PCM -> [S, rows, 2, bins] planar rows."""
@@ -627,14 +728,25 @@ class SpectrogramPipeline:
         interleaved = jnp.swapaxes(windows, -1, -2)  # fallback path
         return stft_ops.stft_frame_planar(interleaved, cfg)
 
-    def _colormap_u8(self, rows: jax.Array, palette_id: jax.Array) -> jax.Array:
+    def _colormap_u8(
+        self, rows: jax.Array, palette_id: jax.Array, picked=None
+    ) -> jax.Array:
         """[S, k, B, 2] magnitude rows -> [S, k, H, 4] u8 RGBA with a
-        per-stream palette, via the selected backend."""
+        per-stream palette, via the selected backend.  `picked` short-cuts
+        the palette pick with pre-picked [S, R*4] tables (state.tables) —
+        rows here are stream-major, so they still k-expand with repeat."""
         s, k = rows.shape[0], rows.shape[1]
         if self.colormap_backend == "pallas":
             flat = rows.reshape(s * k, 2, rows.shape[3])
             if self.static_table is not None:
                 tabs, static = None, self.static_table
+            elif picked is not None:
+                pick_t = picked if isinstance(picked, tuple) else (picked,)
+                tabs = tuple(
+                    self._expand_tables(t, k, "repeat") for t in pick_t
+                )
+                tabs = tabs[0] if len(tabs) == 1 else tabs
+                static = None
             else:
                 tabs, static = self._kernel_tables(palette_id, k, order="repeat"), None
             if self.cmap_segments is not None:
@@ -685,18 +797,38 @@ class SpectrogramPipeline:
 
     # ----------------------------------------------------------------- render
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def render_viewport(self, state: StreamState) -> jax.Array:
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def render_viewport(
+        self, state: StreamState, width: int | None = None
+    ) -> jax.Array:
         """Full scrolling viewport per stream: [S, R, H, 4] u8 RGBA,
         chronological (oldest row first) — the batch analog of the fragment
         shader's `(uv.x * rows + offset) / rows` time wrap
         (gpu_spectrogram.rs:166-171).
 
+        `width` renders the viewport at any time-axis size, matching the GL
+        widget's width-independent display: the ring texture is sampled
+        bilinearly along continuous uv.x (gpu_spectrogram.rs:166-174, the
+        Linear sampler at :285) — here a two-tap interpolation matmul over
+        the row axis, in magnitude space BEFORE the colormap exactly like
+        GL filters the F16 texture before the shader laws.  Edge policy is
+        clamp (DESIGN.md D2; the reference's Repeat wrap is a sampler
+        artifact).
+
         Reads the bf16 ring, so output precision matches the texture path,
         not the f32 streaming path.
         """
         ordered = jnp.roll(state.ring, -state.cursor, axis=1).astype(jnp.float32)
-        return self._colormap_u8(ordered, state.palette_id)
+        if width is not None and width != self.viewport_rows:
+            m = jnp.asarray(_time_resample_matrix(self.viewport_rows, width))
+            ordered = jnp.einsum(
+                "rw,srcb->swcb", m, ordered,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return self._colormap_u8(
+            ordered, state.palette_id, picked=self._state_tables(state)
+        )
 
     @functools.partial(jax.jit, static_argnums=0)
     def composite(self, rgba_u8: jax.Array, palette_id: jax.Array) -> jax.Array:
@@ -731,6 +863,23 @@ class SpectrogramPipeline:
         pid = jnp.full((pcm.shape[0],), palette_id, jnp.int32)
         rgba = self._colormap_u8(rows, pid)
         return rgba[0] if squeeze else rgba
+
+
+@functools.lru_cache(maxsize=32)
+def _time_resample_matrix(rows: int, width: int) -> "np.ndarray":
+    """[rows, width] two-tap bilinear time-resample matrix implementing the
+    GL texel sampling law: output column j reads continuous coordinate
+    x = (j + 0.5) / width * rows, i.e. lerp(texel floor(x-.5), next,
+    frac) with clamp-to-edge taps (gpu_spectrogram.rs:166-174 + DESIGN D2).
+    Works for both minification and magnification, like the GL sampler."""
+    x = (np.arange(width) + 0.5) / width * rows - 0.5
+    i0 = np.floor(x).astype(int)
+    w = (x - i0).astype(np.float32)
+    cols = np.arange(width)
+    m = np.zeros((rows, width), np.float32)
+    np.add.at(m, (np.clip(i0, 0, rows - 1), cols), 1.0 - w)
+    np.add.at(m, (np.clip(i0 + 1, 0, rows - 1), cols), w)
+    return m
 
 
 def reference_pipeline(**overrides) -> SpectrogramPipeline:

@@ -555,11 +555,33 @@ def colormap_rows_builtin(
     )
 
 
+def _normalize_period_tables(tables, n: int, ts: int, table_period):
+    """Resolve the table-period layout for a kernel call.
+
+    With `table_period=S` the caller's rows are window-major over S streams
+    (row r*S + s_) and the tables arrive UNexpanded as [S, R*4]; when the
+    row-block size ts divides S, every ts-row block maps onto one aligned
+    block of the small table array, so a modular index map (i % (S // ts))
+    re-reads it per window with zero expansion copies.  Falls back to an
+    explicit jnp.tile when ts does not divide S.  Returns (tables,
+    tb_blocks) with tb_blocks=None meaning the identity map."""
+    if table_period is None or not tables:
+        return tables, None
+    if n % table_period or tables[0].shape[0] != table_period:
+        raise ValueError(
+            f"table_period={table_period} does not tile {n} rows of "
+            f"{tables[0].shape[0]}-row tables"
+        )
+    if table_period % ts == 0:
+        return tables, table_period // ts
+    return [jnp.tile(t, (n // table_period, 1)) for t in tables], None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "block_rows", "block_cols", "precision", "interpret",
-        "static_table",
+        "static_table", "table_period",
     ),
 )
 def colormap_planes_builtin(
@@ -575,6 +597,7 @@ def colormap_planes_builtin(
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     static_table: tuple | None = None,
+    table_period: int | None = None,
 ) -> jax.Array:
     """As colormap_rows_builtin but taking separate channel planes.
 
@@ -583,7 +606,9 @@ def colormap_planes_builtin(
     the generic two-table kernel serving arbitrary factored palettes.
     `static_table` (a hashable tuple of R*4 floats) instead bakes ONE
     palette into the kernel as compile-time scalars — the single-palette
-    fast path (2.3x; exp_colormap_static_palette)."""
+    fast path (2.3x; exp_colormap_static_palette).  `table_period=S` feeds
+    window-major rows (r*S + s_) from [S, R*4] tables via a modular block
+    index map (see _normalize_period_tables)."""
     n, b = left.shape
     if matrix_t.shape[0] != b:
         raise ValueError(
@@ -603,11 +628,13 @@ def colormap_planes_builtin(
             if isinstance(color_tables, (tuple, list))
             else [color_tables]
         )
+    tables, tb_blocks = _normalize_period_tables(tables, n, ts, table_period)
     if n % ts:
         pad = ts - n % ts
         left = jnp.pad(left, ((0, pad), (0, 0)))
         right = jnp.pad(right, ((0, pad), (0, 0)))
-        tables = [jnp.pad(t, ((0, pad), (0, 0))) for t in tables]
+        if tb_blocks is None:
+            tables = [jnp.pad(t, ((0, pad), (0, 0))) for t in tables]
     n_pad = left.shape[0]
     th = block_cols
     if h % th:
@@ -626,8 +653,13 @@ def colormap_planes_builtin(
         else (tables if len(tables) > 1 else tables[0]),
         kw=kw, subtile=_subtile_for(th),
     )
+    tmap = (
+        (lambda i, j: (i, 0))
+        if tb_blocks is None
+        else (lambda i, j: (i % tb_blocks, 0))
+    )
     table_specs = [
-        pl.BlockSpec((ts, res * 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM)
         for _ in tables
     ]
     # 2-D grid (row blocks x pixel-column tiles).  Between consecutive grid
@@ -707,7 +739,7 @@ def _banded_worthwhile(segments, b: int, h: int, threshold: float = 0.75) -> boo
     jax.jit,
     static_argnames=(
         "cfg", "segments", "block_rows", "block_cols", "precision",
-        "interpret", "static_table",
+        "interpret", "static_table", "table_period",
     ),
 )
 def colormap_planes_banded(
@@ -722,6 +754,7 @@ def colormap_planes_banded(
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     static_table: tuple | None = None,
+    table_period: int | None = None,
 ) -> jax.Array:
     """Banded colormap: one kernel launch per `band_segments` segment, each
     contracting only the bin band its pixel columns actually read.
@@ -752,13 +785,20 @@ def colormap_planes_banded(
             if isinstance(color_tables, (tuple, list))
             else [color_tables]
         )
+    tables, tb_blocks = _normalize_period_tables(tables, n, ts, table_period)
     if n % ts:
         pad = ts - n % ts
         left = jnp.pad(left, ((0, pad), (0, 0)))
         right = jnp.pad(right, ((0, pad), (0, 0)))
-        tables = [jnp.pad(t, ((0, pad), (0, 0))) for t in tables]
+        if tb_blocks is None:
+            tables = [jnp.pad(t, ((0, pad), (0, 0))) for t in tables]
     n_pad = left.shape[0]
     th = block_cols
+    tmap = (
+        (lambda i, j: (i, 0))
+        if tb_blocks is None
+        else (lambda i, j: (i % tb_blocks, 0))
+    )
 
     outs = []
     for p0, p1, lo, hi in segments:
@@ -806,8 +846,7 @@ def colormap_planes_banded(
             )
             plane_l, plane_r = left[:, lo:hi], right[:, lo:hi]
         table_specs = [
-            pl.BlockSpec((ts, res * 4), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM)
             for _ in seg_tables
         ]
         out = pl.pallas_call(

@@ -50,12 +50,24 @@ from spectrogram_tpu.ops.mxu_fft import FftPlan, make_plan
 
 
 def flip_supported(plan: FftPlan) -> bool:
-    """True when the flipped stage-2 orientation (dT) compiles: Mosaic's
-    leading-axis transpose of the [2k1h, TS, n2] product needs the lane dim
-    to be a whole number of 128-lane tiles (probed on hardware across six
-    geometries, 2026-08-16: n2=128 OK, n2 in {64, 100} -> infer-vector-layout
-    'unsupported shape cast')."""
+    """True when the flipped stage-2 orientation (dT) compiles DIRECTLY:
+    Mosaic's leading-axis transpose of the [2k1h, TS, n2] product needs the
+    lane dim to be a whole number of 128-lane tiles (probed on hardware
+    across six geometries, 2026-08-16: n2=128 OK, n2 in {64, 100} ->
+    infer-vector-layout 'unsupported shape cast').  Plans that fail this
+    gate take the padded-lane flip instead (`padded_n2`) — round 4."""
     return plan.n2 % 128 == 0
+
+
+def padded_n2(plan: FftPlan) -> int:
+    """The lane-padded stage-1 width n2p: n2 rounded up to a full 128-lane
+    tile.  A [*, n2] vector occupies ceil(n2/128) physical lane tiles
+    regardless, so computing at n2p with zero-padded DFT/twiddle constants
+    costs no extra vector work — and makes the flipped stage-2 transpose
+    legal for ANY plan (the reference-native 2400/4800 geometry's n2=100
+    was the round-3 gap: no factorization of 4800 has n2 % 128 == 0,
+    /root/reference/src/fourier/fft.rs:33,44)."""
+    return -(-plan.n2 // 128) * 128
 
 
 def default_block_rows(plan: FftPlan) -> int:
@@ -70,7 +82,7 @@ def default_block_rows(plan: FftPlan) -> int:
 def _kernel2(
     left_ref, right_ref, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
     out_l_ref, out_r_ref,
-    *, plan, precision, transposed=False,
+    *, plan, precision, transposed=False, lane_pad=False,
 ):
     """v4 kernel body (exp_stft_r3, 2.89 -> 1.39 ms standalone at 4096
     rows): stage 2 contracts FLIPPED (constant first), and with
@@ -88,14 +100,15 @@ def _kernel2(
     def channel(x_ref, out_ref):
         _fft_channel(x_ref[:], hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
                      out_ref, plan=plan, precision=precision,
-                     transposed=transposed)
+                     transposed=transposed, lane_pad=lane_pad)
 
     channel(left_ref, out_l_ref)
     channel(right_ref, out_r_ref)
 
 
 def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
-                   *, plan, precision, transposed=False, flip=None):
+                   *, plan, precision, transposed=False, flip=None,
+                   lane_pad=False):
     """One channel's four-step on a window block ([TS, n1, m] when
     `transposed`, else [TS, m, n1]); returns the [TS, k1h, n2] magnitude
     value (flat bin k = k1*n2 + k2).
@@ -108,10 +121,18 @@ def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
     copies), which Mosaic lowers ~2x cheaper than the lane-dim swapaxes of
     the [TS, n2, 2k1h] orientation (exp_stft_r3).  The two stage-1 layouts
     are bitwise-identical; dT moves bits by ~2 ulp (MXU pass association).
-    """
-    n1, n2, m = plan.n1, plan.n2, plan.m
+
+    `lane_pad`: the f2cat/twcat constants arrive zero-padded to
+    n2p = padded_n2(plan) lanes, every intermediate runs at n2p width (free:
+    the physical lane tiles are the same), flip is always legal, and the
+    output block is [TS, k1h, n2p] — padded positions carry exact zeros
+    (|0 + 0i| = 0) for the caller to slice or feed to a padded-layout
+    resample matrix.  True-bin values are BITWISE identical to the unpadded
+    path: appending zero columns changes no partial sum."""
+    n1, m = plan.n1, plan.m
+    n2 = padded_n2(plan) if lane_pad else plan.n2
     if flip is None:
-        flip = flip_supported(plan)
+        flip = True if lane_pad else flip_supported(plan)
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
     twr_t = twcat_ref[:, :n2]                             # [n1, n2]
     twi_t = twcat_ref[:, n2:]
@@ -147,18 +168,49 @@ def _scaled_hann(w: int, m: int, n1: int) -> "np.ndarray":
 
 
 def _fft_channel(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
-                 *, plan, precision, transposed=False):
+                 *, plan, precision, transposed=False, lane_pad=False):
     """Ref-writing wrapper around _fft_mag_value (see _kernel2)."""
     out_ref[:] = _fft_mag_value(
         x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
         plan=plan, precision=precision, transposed=transposed,
+        lane_pad=lane_pad,
     )
+
+
+def _padded_stage1_constants(plan: FftPlan):
+    """(f2cat, twcat) zero-padded from n2 to padded_n2(plan) lanes per half
+    (real | imag concatenation preserved).  The pad columns are exact zeros:
+    stage-1 emits 0 there, the twiddle multiplies 0*0, and stage-2's extra
+    columns contribute |0| = 0 magnitudes at the padded bin positions."""
+    from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
+
+    f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+    n2, n2p = plan.n2, padded_n2(plan)
+    m, n1 = f2cat.shape[0], twr.shape[0]
+    f2p = np.zeros((m, 2 * n2p), np.float32)
+    f2p[:, :n2] = f2cat[:, :n2]
+    f2p[:, n2p : n2p + n2] = f2cat[:, n2:]
+    twp = np.zeros((n1, 2 * n2p), np.float32)
+    twp[:, :n2] = twr
+    twp[:, n2p : n2p + n2] = twi
+    return f2p, twp, f1blk
+
+
+def lane_pad_default(plan: FftPlan) -> bool:
+    """Default for the padded-lane flip: on when the direct flip gate fails
+    AND the padding is physically free — both stage-1 halves already
+    straddle the lane tile the pad rounds up to (2 * (n2 % 128) > 128,
+    e.g. n2=100 -> 128 costs nothing; n2=64 -> 128 would double the
+    stage-1 lane tiles, so those plans keep the unflipped v3c stage 2
+    unless the autotuner measures otherwise)."""
+    return not flip_supported(plan) and 2 * (plan.n2 % 128) > 128
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "block_rows", "precision", "interpret", "slice_bins", "plan"
+        "cfg", "block_rows", "precision", "interpret", "slice_bins", "plan",
+        "lane_pad", "padded_layout",
     ),
 )
 def stft_mag_fused2(
@@ -170,6 +222,8 @@ def stft_mag_fused2(
     interpret: bool = False,
     slice_bins: bool = True,
     plan: FftPlan | None = None,
+    lane_pad: bool | None = None,
+    padded_layout: bool = False,
 ):
     """Fused four-step STFT: (magL, magR) each [N, num_bins], or the full
     [N, N/2] half-spectrum (bin index k = padded-FFT bin k, DC included)
@@ -179,10 +233,15 @@ def stft_mag_fused2(
     v4: window planes feed the kernel TRANSPOSED per stream ([N, n1, m]:
     the m axis rides the lanes, 1.7x tile padding instead of n1's 4x, and
     stage 1 becomes a last-axis contraction; probed OK on every geometry).
-    Stage 2 uses the flipped (dT) orientation only where it compiles
-    (`flip_supported`: n2 % 128 == 0).  The transpose runs outside the
-    kernel where XLA fuses it into the framing copy; block_rows defaults
-    per plan (`default_block_rows`).
+    Stage 2 uses the flipped (dT) orientation where it compiles directly
+    (`flip_supported`: n2 % 128 == 0) — or, round 4, via the PADDED-LANE
+    flip (`lane_pad`): DFT/twiddle constants zero-padded to n2p =
+    padded_n2(plan) lanes make dT legal for any plan at no physical vector
+    cost (the reference-native 2400/4800 geometry, fft.rs:33,44, whose
+    n2=100 admits no 128-multiple factorization).  With `padded_layout`
+    the [N, (n1/2)*n2p] output keeps the padded positions (exact zeros)
+    for a padded-layout resample matrix to consume with zero slicing;
+    otherwise the true-bin layout is sliced out.
 
     `plan` overrides the static-cost-model factorization (autotuner hook;
     must be an even-n1 plan for this geometry)."""
@@ -198,6 +257,12 @@ def stft_mag_fused2(
     if cfg.pad_factor < 2:
         # half-spectrum covers bins 1..W-1 only when W <= N/2
         raise ValueError(f"fused STFT requires pad_factor >= 2, got {cfg}")
+    if lane_pad is None:
+        lane_pad = lane_pad_default(plan)
+    if padded_layout and not lane_pad:
+        raise ValueError("padded_layout requires lane_pad")
+    if padded_layout and slice_bins:
+        raise ValueError("padded_layout is a full-half-spectrum format")
     n, w = left.shape
     assert w == cfg.window_size, (w, cfg.window_size)
     ts = min(block_rows, n) if n % block_rows else block_rows
@@ -208,17 +273,23 @@ def stft_mag_fused2(
     n_pad = left.shape[0]
     n1, n2, m = plan.n1, plan.n2, plan.m
     half = (n1 // 2) * n2
+    n2o = padded_n2(plan) if lane_pad else n2  # kernel output lane width
+    half_o = (n1 // 2) * n2o
     left3 = jnp.swapaxes(left.reshape(n_pad, m, n1), 1, 2)   # [N, n1, m]
     right3 = jnp.swapaxes(right.reshape(n_pad, m, n1), 1, 2)
     hann2 = np.ascontiguousarray(_scaled_hann(w, m, n1).T)   # [n1, m]
-    f2cat, twr, twi, f1blk = _block_plan_constants(plan)
-    twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)  # [n1, 2n2]
+    if lane_pad:
+        f2cat, twcat, f1blk = _padded_stage1_constants(plan)
+    else:
+        f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+        twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)  # [n1, 2n2]
 
     def const_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _kernel2, plan=plan, precision=precision, transposed=True
+        _kernel2, plan=plan, precision=precision, transposed=True,
+        lane_pad=lane_pad,
     )
     mag_l, mag_r = pl.pallas_call(
         kernel,
@@ -233,24 +304,29 @@ def stft_mag_fused2(
         ],
         out_specs=[
             pl.BlockSpec(
-                (ts, n1 // 2, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (ts, n1 // 2, n2o), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (ts, n1 // 2, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (ts, n1 // 2, n2o), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2o), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2o), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * 2 * (plan.complex_macs * 2),
-            bytes_accessed=2 * n_pad * (w + half) * 4,
-            transcendentals=2 * n_pad * half,
+            bytes_accessed=2 * n_pad * (w + half_o) * 4,
+            transcendentals=2 * n_pad * half_o,
         ),
         interpret=interpret,
     )(left3, right3, jnp.asarray(hann2), jnp.asarray(f2cat), jnp.asarray(twcat),
       jnp.asarray(f1blk))
+    if padded_layout:
+        return mag_l.reshape(n_pad, half_o)[:n], mag_r.reshape(n_pad, half_o)[:n]
+    if lane_pad:
+        mag_l = mag_l[:, :, :n2]
+        mag_r = mag_r[:, :, :n2]
     mag_l = mag_l.reshape(n_pad, half)[:n]
     mag_r = mag_r.reshape(n_pad, half)[:n]
     if slice_bins:

@@ -42,11 +42,15 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devs), (STREAM_AXIS,))
 
 
-def state_shardings(mesh: Mesh, carry_ndim: int = 3) -> StreamState:
+def state_shardings(
+    mesh: Mesh, carry_ndim: int = 3, n_tables: int = 0
+) -> StreamState:
     """NamedShardings for every StreamState leaf: stream-sharded arrays,
     replicated scalars.  `carry_ndim` tracks the pipeline's carry format
     (3 = planar [S, 2, C]; 4 = transposed [S, 2, n1, C/n1]) — the stream
-    axis leads either way."""
+    axis leads either way.  `n_tables` is the pipeline's pre-picked kernel
+    table count (0 static-palette, 1 built-in registry, 2 generic); the
+    [S, R*4] tables shard along streams like every per-stream array."""
     def s(*spec):
         return NamedSharding(mesh, P(*spec))
 
@@ -56,11 +60,18 @@ def state_shardings(mesh: Mesh, carry_ndim: int = 3) -> StreamState:
         cursor=s(),
         palette_id=s(STREAM_AXIS),
         row_count=s(),
+        tables=tuple(s(STREAM_AXIS, None) for _ in range(n_tables)),
     )
 
 
 def _carry_ndim(pipeline: SpectrogramPipeline) -> int:
     return 4 if getattr(pipeline, "carry_transposed", False) else 3
+
+
+def _n_tables(pipeline: SpectrogramPipeline) -> int:
+    if getattr(pipeline, "static_table", None) is not None:
+        return 0
+    return 1 if getattr(pipeline, "builtin_tables", None) is not None else 2
 
 
 def chunk_sharding(mesh: Mesh) -> NamedSharding:
@@ -77,7 +88,9 @@ def rgba_sharding(mesh: Mesh, packed: bool = False) -> NamedSharding:
 
 def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
     """Place an (unsharded) state onto the mesh."""
-    return jax.device_put(state, state_shardings(mesh, state.carry.ndim))
+    return jax.device_put(
+        state, state_shardings(mesh, state.carry.ndim, len(state.tables))
+    )
 
 
 def sharded_init(
@@ -90,7 +103,9 @@ def sharded_init(
     straight out of the compiled init."""
     return jax.jit(
         functools.partial(pipeline.init_state, n_streams, palette_id=palette_id),
-        out_shardings=state_shardings(mesh, _carry_ndim(pipeline)),
+        out_shardings=state_shardings(
+            mesh, _carry_ndim(pipeline), _n_tables(pipeline)
+        ),
     )()
 
 
@@ -100,7 +115,7 @@ def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh):
     Returns step(state, chunk) -> (state, rgba_u8).  The stream count must be
     divisible by mesh size.  State is donated: the ring never leaves HBM.
     """
-    ss = state_shardings(mesh, _carry_ndim(pipeline))
+    ss = state_shardings(mesh, _carry_ndim(pipeline), _n_tables(pipeline))
     return jax.jit(
         pipeline.push_impl,
         in_shardings=(ss, chunk_sharding(mesh)),
@@ -121,6 +136,9 @@ def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh):
         cursor=P(),
         palette_id=P(STREAM_AXIS),
         row_count=P(),
+        tables=tuple(
+            P(STREAM_AXIS, None) for _ in range(_n_tables(pipeline))
+        ),
     )
 
     def per_chip(state: StreamState, chunk: jax.Array):

@@ -1,0 +1,286 @@
+"""One-command on-hardware regression gate: `python -m spectrogram_tpu.smoke`.
+
+Compiles AND RUNS every pinned geometry/kernel class of the production
+pipeline on the CURRENT default backend (the real TPU chip in deployment;
+CPU interpret under tests) and exits non-zero on any failure.
+
+Why this exists (round-3 lesson, CLAUDE.md): Mosaic layout/lowering
+failures — e.g. the dT stage-2 'unsupported shape cast' on n2 % 128 != 0
+plans — are STRUCTURALLY invisible to the test suite, because interpret
+mode checks numerics, not compilability.  That failure reached hardware
+first via examples/demo.py, found by a human.  This module is the machine
+that remembers: one command, every kernel-shape class, green/red.
+
+Classes pinned here (each exercises a distinct compile path):
+  flip          — n2 % 128 == 0 plan, dT stage-2 orientation, k>1
+                  window-plane framing (bench geometry)
+  bufk          — k>1 element-offset buf framing (aligned-hop geometry:
+                  hop_rows % 8 == 0)
+  lane_pad      — n2 % 128 != 0 plan via zero-padded stage-1 constants +
+                  padded-layout colormap handoff (the REFERENCE-native
+                  2400/4800 geometry, fft.rs:33,44)
+  small_flip    — low-latency 512/1024 plan (small-block shapes, ts=64)
+  static        — static_palette colormap (LUT baked as scalars)
+  generic       — user-defined FactoredScheme registry (two-table kernel)
+  transposed    — transposed-carry state format (4D kernel operand)
+  k1            — chunk_hops=1 (channel planes ARE the window operands)
+  viewport      — ring render + GL-law width rescale matmul
+  xla_parity    — classes 'flip' and 'lane_pad' vs the XLA-composed
+                  backends on the same chunk (<= 1 u8)
+
+Wall budget: first run compiles everything (~2-4 min on the relay-tunneled
+dev chip, less on a local chip); re-runs hit the jit cache in seconds.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import numpy as np
+
+
+def _mk_chunk(rng, s, pipeline):
+    return rng.standard_normal((s, pipeline.chunk_size, 2)).astype(np.float32) * 0.2
+
+
+def _n_streams(want: int) -> int:
+    """Stream count per class: `want` on hardware; tiny under CPU interpret
+    (the CPU run only checks smoke's own plumbing — interpret mode at
+    hardware batch sizes takes minutes and proves nothing extra)."""
+    import jax
+
+    return want if jax.default_backend() in ("tpu", "axon") else 4
+
+
+def _push_twice(pipeline, s_streams, rng, palette_ids=None):
+    """Two pushes; returns host rows of the second (state advance + output
+    both exercised; the second push catches donation/aliasing bugs)."""
+    import jax.numpy as jnp
+
+    s_streams = _n_streams(s_streams)
+    state = pipeline.init_state(s_streams)
+    if palette_ids is not None and pipeline.static_table is None:
+        state = pipeline.set_palette(
+            state, jnp.asarray(np.resize(palette_ids, s_streams))
+        )
+    out = None
+    for _ in range(2):
+        chunk = jnp.asarray(_mk_chunk(rng, s_streams, pipeline))
+        state, out = pipeline.push(state, chunk)
+    rows = np.asarray(out)
+    if rows.dtype == np.int32:
+        rows = rows.view(np.uint8)
+    assert np.isfinite(rows.astype(np.float32)).all(), "non-finite pixels"
+    assert rows.any(), "all-zero output"
+    return state, rows
+
+
+
+
+def _pl(cfg, **kw):
+    """Pipeline forced onto the Pallas kernel paths: interpret mode off-TPU
+    (so the suite can exercise smoke's logic on CPU), REAL Mosaic compiles
+    on hardware — which is the entire point of this gate."""
+    import jax
+
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+    kw.setdefault("stft_backend", "pallas")
+    kw.setdefault("colormap_backend", "pallas")
+    kw.setdefault("kernel_interpret", interp)
+    return SpectrogramPipeline(cfg, **kw)
+
+def _cfg_bench():
+    from spectrogram_tpu.config import BENCH_CONFIG
+
+    return BENCH_CONFIG
+
+
+def _cfg_reference():
+    from spectrogram_tpu.config import SpectrogramConfig
+
+    return SpectrogramConfig(sample_rate=48000.0, window_period=0.05,
+                             viewport_height=512)
+
+
+def _cfg_lowlat():
+    from spectrogram_tpu.config import SpectrogramConfig
+
+    return SpectrogramConfig(sample_rate=48000.0, window_period=512 / 48000.0,
+                             hop_period=128 / 48000.0, viewport_height=256)
+
+
+def class_flip(rng):
+    from spectrogram_tpu.ops.pallas import stft_kernel as sk
+
+    cfg = _cfg_bench()
+    p = _pl(cfg, chunk_hops=8, store_ring=False,
+            packed_output=True, precision_profile="fast")
+    assert p.fused_chain and sk.flip_supported(p.fft_plan), (
+        "bench plan lost the flip path"
+    )
+    _, rows = _push_twice(p, 256, rng, palette_ids=np.arange(256) % 19)
+    return p, rows
+
+
+def class_bufk(rng):
+    """k>1 element-offset buf framing needs hop_rows % 8 == 0 — an
+    aligned-hop geometry (the bench hop 800 -> hop_rows 25 does NOT
+    qualify; it takes the window-plane path, covered by class_flip)."""
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.ops.pallas import stft_kernel as sk
+
+    cfg = SpectrogramConfig(
+        sample_rate=48000.0,
+        window_period=2048 / 48000.0,
+        hop_period=1024 / 48000.0,
+        viewport_height=1024,
+    )
+    p = _pl(cfg, chunk_hops=4, store_ring=False, packed_output=True)
+    assert sk.buf_framing_supported(cfg, 4, p.fft_plan), (
+        "aligned-hop geometry lost k>1 buf framing"
+    )
+    _push_twice(p, 256, rng)
+
+
+def class_lane_pad(rng):
+    cfg = _cfg_reference()
+    p = _pl(cfg, chunk_hops=8, store_ring=False,
+            packed_output=True, precision_profile="fast")
+    assert p.fused_chain and p.stft_lane_pad, (
+        "reference 2400/4800 geometry lost the padded-lane flip"
+    )
+    _, rows = _push_twice(p, 256, rng, palette_ids=np.arange(256) % 19)
+    return p, rows
+
+
+def class_small_flip(rng):
+    p = _pl(_cfg_lowlat(), chunk_hops=8, store_ring=False,
+            packed_output=True)
+    assert p.fused_chain
+    _push_twice(p, 256, rng)
+
+
+def class_static(rng):
+    p = _pl(_cfg_bench(), chunk_hops=8, store_ring=False,
+            packed_output=True, static_palette="Magma")
+    _push_twice(p, 256, rng)
+
+
+def class_generic(rng):
+    from spectrogram_tpu.color.colorscheme import (
+        DEFAULT_COLOR_SCHEMES, FactoredScheme,
+    )
+
+    res = 32
+    ramp = np.linspace(0.0, 1.0, res, dtype=np.float32)
+    u = np.stack([ramp, ramp**2, np.sqrt(ramp), ramp], axis=1)
+    v = np.stack([1 - 0.3 * ramp, np.ones(res, np.float32),
+                  0.5 + 0.5 * ramp, np.ones(res, np.float32)], axis=1)
+    custom = FactoredScheme("smoke-custom", u, v, background=(10, 10, 10))
+    schemes = (custom,) + tuple(DEFAULT_COLOR_SCHEMES[:3])
+    p = _pl(_cfg_bench(), chunk_hops=8, store_ring=False,
+            packed_output=True, schemes=schemes)
+    assert p.generic_tables is not None, "custom scheme failed to route generic"
+    _push_twice(p, 256, rng, palette_ids=np.arange(256) % len(schemes))
+
+
+def class_transposed(rng):
+    from spectrogram_tpu.ops.pallas import stft_kernel as sk
+
+    cfg = _cfg_bench()
+    plan = sk.make_plan(cfg)
+    if not sk.carry_transposed_supported(cfg, plan):
+        raise AssertionError("bench geometry lost transposed-carry support")
+    p = _pl(cfg, chunk_hops=1, store_ring=False,
+            packed_output=True, transposed_carry=True)
+    _push_twice(p, 256, rng)
+
+
+def class_k1(rng):
+    p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+            packed_output=True)
+    _push_twice(p, 256, rng)
+
+
+def class_viewport(rng):
+    p = _pl(_cfg_bench(), chunk_hops=8, viewport_rows=64)
+    state, _ = _push_twice(p, 16, rng)
+    full = np.asarray(p.render_viewport(state))
+    assert full.shape[1] == p.viewport_rows
+    scaled = np.asarray(p.render_viewport(state, width=200))
+    assert scaled.shape[1] == 200 and scaled.any()
+
+
+def class_xla_parity(rng):
+    """The fused chain vs the XLA-composed path on a CHIRP (tonal content —
+    noise hides FFT precision bugs) for both the flip and lane_pad plans."""
+    import jax.numpy as jnp
+
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    for cfg in (_cfg_bench(), _cfg_reference()):
+        fs = cfg.sample_rate
+        t = np.arange(cfg.window_size * 4) / fs
+        chirp = 0.4 * np.sin(2 * np.pi * (200 + 2000 * t) * t)
+        pcm = np.stack([chirp, 0.2 * np.sin(2 * np.pi * 440 * t)], -1)
+        pcm = pcm[None].astype(np.float32)
+        p_f = _pl(cfg, store_ring=False, packed_output=True)
+        p_x = SpectrogramPipeline(cfg, store_ring=False, packed_output=True,
+                                  stft_backend="xla", colormap_backend="xla")
+        a = np.asarray(p_f.process(jnp.asarray(pcm))).view(np.uint8).astype(int)
+        b = np.asarray(p_x.process(jnp.asarray(pcm))).view(np.uint8).astype(int)
+        diff = np.abs(a - b).max()
+        assert diff <= 1, f"{cfg.window_size}/{cfg.padded_size}: {diff} u8"
+
+
+CLASSES = (
+    ("flip", class_flip),
+    ("bufk", class_bufk),
+    ("lane_pad", class_lane_pad),
+    ("small_flip", class_small_flip),
+    ("static", class_static),
+    ("generic", class_generic),
+    ("transposed", class_transposed),
+    ("k1", class_k1),
+    ("viewport", class_viewport),
+    ("xla_parity", class_xla_parity),
+)
+
+
+def main(argv=None) -> int:
+    import jax
+
+    rng = np.random.default_rng(0)
+    backend = jax.default_backend()
+    print(f"smoke: backend={backend} device={jax.devices()[0]}", flush=True)
+    if backend not in ("tpu", "axon"):
+        print("smoke: WARNING not on TPU — compile coverage is only "
+              "meaningful on hardware (interpret mode cannot catch Mosaic "
+              "layout failures)", flush=True)
+    failures = []
+    for name, fn in CLASSES:
+        t0 = time.perf_counter()
+        try:
+            fn(rng)
+            print(f"smoke: {name:<12} PASS  ({time.perf_counter() - t0:.1f}s)",
+                  flush=True)
+        except Exception:
+            failures.append(name)
+            print(f"smoke: {name:<12} FAIL  ({time.perf_counter() - t0:.1f}s)",
+                  flush=True)
+            traceback.print_exc()
+    if failures:
+        print(f"smoke: RED — {len(failures)} class(es) failed: "
+              f"{', '.join(failures)}", flush=True)
+        return 1
+    print(f"smoke: GREEN — all {len(CLASSES)} geometry/kernel classes "
+          f"compiled and ran on {backend}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

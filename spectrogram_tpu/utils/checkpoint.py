@@ -107,25 +107,30 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
     elif carry.ndim == 4 and not want_t:
         s_, _, n1_, cm = carry.shape
         carry = carry.swapaxes(2, 3).reshape(s_, 2, n1_ * cm)
+    palette_id = jnp.asarray(z["palette_id"])
     state = StreamState(
         carry=jnp.asarray(carry),
         ring=jnp.asarray(z["ring"]).astype(ring_dtype),
         cursor=jnp.asarray(z["cursor"]),
-        palette_id=jnp.asarray(z["palette_id"]),
+        palette_id=palette_id,
         row_count=jnp.asarray(z["row_count"]),
+        # kernel tables are DERIVED state (palette_id x the restoring
+        # pipeline's registry) — recomputed, never persisted, so a
+        # checkpoint restores cleanly into a pipeline with different schemes
+        tables=pipeline.state_tables_for(palette_id),
     )
     import functools
 
     expected = jax.eval_shape(
         functools.partial(pipeline.init_state, state.palette_id.shape[0])
     )
-    for name, got, want in zip(
-        StreamState._fields, state, expected
-    ):
-        if got.shape != want.shape:
+    for name in StreamState._fields:
+        got = [x.shape for x in jax.tree.leaves(getattr(state, name))]
+        want = [x.shape for x in jax.tree.leaves(getattr(expected, name))]
+        if got != want:
             raise ValueError(
-                f"checkpoint field {name} shape {got.shape} != pipeline "
-                f"expectation {want.shape}"
+                f"checkpoint field {name} shape {got} != pipeline "
+                f"expectation {want}"
             )
     _check_cursor_alignment(state, pipeline, pipeline_meta)
     return state
@@ -140,8 +145,13 @@ def save_sharded(
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(path).resolve()
+    payload = state._asdict()
+    # kernel tables are derived (palette_id x scheme registry): recomputed
+    # on load, never persisted — keeps checkpoints portable across registry
+    # changes and smaller on disk
+    payload.pop("tables", None)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path / "state", state._asdict(), force=True)
+        ckptr.save(path / "state", payload, force=True)
     if jax.process_index() == 0:
         (path / "config.json").write_text(_sidecar_payload(cfg, pipeline))
 
@@ -174,7 +184,12 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
         template = jax.eval_shape(
             functools.partial(pipeline.init_state, n_streams)
         )
-        for name, got in meta.item_metadata.items():
+        stored_fields = [
+            f for f in StreamState._fields
+            if f != "tables" and f in meta.item_metadata
+        ]
+        for name in stored_fields:
+            got = meta.item_metadata[name]
             want = getattr(template, name)
             if tuple(got.shape) != tuple(want.shape):
                 raise ValueError(
@@ -183,9 +198,13 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
                     f"chunk geometry changed; start a fresh state)"
                 )
         if mesh is not None:
-            from spectrogram_tpu.parallel.mesh import state_shardings
+            from spectrogram_tpu.parallel.mesh import (
+                _carry_ndim, _n_tables, state_shardings,
+            )
 
-            shardings = state_shardings(mesh)
+            shardings = state_shardings(
+                mesh, _carry_ndim(pipeline), _n_tables(pipeline)
+            )
         else:
             shardings = jax.tree.map(lambda _: None, template)
         abstract = {
@@ -194,10 +213,17 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
                 getattr(template, name).dtype,
                 sharding=getattr(shardings, name),
             )
-            for name in StreamState._fields
+            for name in stored_fields
         }
         restored = ckptr.restore(path / "state", abstract)
-    state = StreamState(**restored)
+    # tables are derived state — recompute from the restored palette ids on
+    # whatever sharding they landed with (the pick is a per-stream map, so
+    # GSPMD keeps it stream-sharded)
+    tables_fn = jax.jit(
+        pipeline.state_tables_for,
+        out_shardings=(shardings.tables if mesh is not None else None),
+    )
+    state = StreamState(**restored, tables=tables_fn(restored["palette_id"]))
     _check_cursor_alignment(state, pipeline, pipeline_meta)
     return state
 

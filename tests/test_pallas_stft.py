@@ -127,3 +127,43 @@ def test_flip_gate_and_block_defaults():
             stft_kernel._fft_mag_value = orig
     assert not np.array_equal(outs[0], outs[1])  # orientations re-associate
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=1e-7)
+
+
+def test_lane_pad_flip_matches_unpadded(rng):
+    """Round-4 padded-lane flip (n2 % 128 != 0 plans): padded positions are
+    exact zeros, true bins match the unpadded orientation to ~2 ulp (the dT
+    stage-2 association), and the default gate engages exactly when the pad
+    is physically free."""
+    from spectrogram_tpu.ops.mxu_fft import FftPlan
+
+    cfg = SpectrogramConfig(sample_rate=48000.0, window_period=0.05)
+    assert cfg.window_size == 2400 and cfg.padded_size == 4800
+    plan = stft_kernel.make_plan(cfg)
+    assert not stft_kernel.flip_supported(plan)
+    assert stft_kernel.lane_pad_default(plan)
+    assert stft_kernel.padded_n2(plan) == 128
+    n = 12
+    left = rng.standard_normal((n, 2400)).astype(np.float32) * 0.3
+    right = rng.standard_normal((n, 2400)).astype(np.float32) * 0.3
+    l0, r0 = stft_kernel.stft_mag_fused2(
+        jnp.asarray(left), jnp.asarray(right), cfg, interpret=True,
+        slice_bins=False, lane_pad=False)
+    l1, r1 = stft_kernel.stft_mag_fused2(
+        jnp.asarray(left), jnp.asarray(right), cfg, interpret=True,
+        slice_bins=False, lane_pad=True)
+    for a, b in ((l0, l1), (r0, r1)):
+        a, b = np.asarray(a), np.asarray(b)
+        # dT association shift: ~2 ulp relative, plus absolute floor for
+        # near-cancelled bins (relative error is meaningless at ~1e-7 mags)
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
+    lp, _ = stft_kernel.stft_mag_fused2(
+        jnp.asarray(left), jnp.asarray(right), cfg, interpret=True,
+        slice_bins=False, lane_pad=True, padded_layout=True)
+    n2, n2p, k1h = plan.n2, stft_kernel.padded_n2(plan), plan.n1 // 2
+    lp3 = np.asarray(lp).reshape(n, k1h, n2p)
+    np.testing.assert_array_equal(lp3[:, :, n2:], 0.0)
+    np.testing.assert_array_equal(
+        lp3[:, :, :n2].reshape(n, -1), np.asarray(l1))
+    # free-pad gate: n2=64-class plans (pad would double stage-1 tiles) stay off
+    assert not stft_kernel.lane_pad_default(
+        FftPlan(n=2048, n1=32, n2=64, m=32))

@@ -375,3 +375,88 @@ def test_static_palette_stereo_and_validation(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
     with pytest.raises(ValueError, match="out of range"):
         make_pipeline(static_palette=99)
+
+
+def test_hoisted_tables_match_per_push_pick(rng):
+    """Round-4 hoist: the pre-picked state.tables + modular table_period
+    index map must be BITWISE equal to the legacy per-push one-hot pick
+    (tables=() fallback), across k>1 window-major rows and per-stream
+    palettes; set_palette must refresh the hoisted tables."""
+    import jax
+
+    p = SpectrogramPipeline(CFG, chunk_hops=4, packed_output=True,
+                            stft_backend="pallas", colormap_backend="pallas",
+                            kernel_interpret=True)
+    dup = lambda st: jax.tree.map(jnp.copy, st)  # push donates its state
+    pids = jnp.asarray([0, 1, 2, 5])
+    s = p.set_palette(p.init_state(4), pids)
+    assert len(s.tables) == 1 and s.tables[0].shape[0] == 4
+    s_legacy = dup(s)._replace(tables=())  # pre-hoist state shape
+    chunk = jnp.asarray(
+        rng.standard_normal((4, p.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    s, out = p.push(s, chunk)
+    s_legacy, out_legacy = p.push(s_legacy, chunk)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_legacy))
+
+    # palette switch refreshes the hoisted tables: equals a fresh pick
+    s2 = p.set_palette(s, jnp.asarray([5, 2, 1, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(s2.tables[0]),
+        np.asarray(p.state_tables_for(jnp.asarray([5, 2, 1, 0]))[0]),
+    )
+    s2_legacy = dup(s2)._replace(tables=())
+    s3, out2 = p.push(s2, chunk)
+    _, out2_legacy = p.push(s2_legacy, chunk)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out2_legacy))
+    s = s3
+
+    # out-of-range ids clamp to the registry instead of rendering black
+    s3 = p.set_palette(s, jnp.asarray([99, -3, 1, 1]))
+    lim = len(p.schemes) - 1
+    np.testing.assert_array_equal(
+        np.asarray(s3.tables[0]),
+        np.asarray(p.state_tables_for(jnp.asarray([lim, 0, 1, 1]))[0]),
+    )
+
+
+def test_render_viewport_width_matches_gl_sampling_law(rng):
+    """render_viewport(width=) must equal the GL sampler law computed
+    directly: bilinear texel sampling along continuous uv.x with
+    clamp-to-edge (gpu_spectrogram.rs:166-174,285; DESIGN D2), applied in
+    magnitude space before the colormap."""
+    p = make_pipeline()
+    s = p.init_state(2)
+    for _ in range(8):  # fill the ring (32 rows / k=4)
+        chunk = jnp.asarray(
+            rng.standard_normal((2, p.chunk_size, 2)).astype(np.float32) * 0.3
+        )
+        s, _ = p.push(s, chunk)
+    for width in (7, 16, 32, 100):
+        out = np.asarray(p.render_viewport(s, width=width))
+        assert out.shape == (2, width, CFG.viewport_height, 4)
+        # direct law on the ordered ring
+        ring = np.asarray(s.ring).astype(np.float32)
+        cur = int(s.cursor)
+        ordered = np.roll(ring, -cur, axis=1)
+        r = p.viewport_rows
+        x = (np.arange(width) + 0.5) / width * r - 0.5
+        i0 = np.floor(x).astype(int)
+        w = x - i0
+        lo = np.clip(i0, 0, r - 1)
+        hi = np.clip(i0 + 1, 0, r - 1)
+        interp = (
+            ordered[:, lo] * (1.0 - w)[None, :, None, None]
+            + ordered[:, hi] * w[None, :, None, None]
+        ).astype(np.float32)
+        want = np.asarray(
+            p._colormap_u8(jnp.asarray(interp), s.palette_id,
+                           picked=p._state_tables(s))
+        )
+        diff = np.abs(out.astype(int) - want.astype(int))
+        assert diff.max() <= 1, (width, diff.max())
+    # width == viewport_rows short-circuits to the identity path
+    np.testing.assert_array_equal(
+        np.asarray(p.render_viewport(s, width=p.viewport_rows)),
+        np.asarray(p.render_viewport(s)),
+    )

@@ -163,11 +163,13 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path, rng):
 
     ck.save_sharded(tmp_path / "ckpt", st, cfg)
     st2 = ck.load_sharded(tmp_path / "ckpt", p, mesh=m)
-    for name, a, b in zip(st._fields, st, st2):
+    flat_a = jax.tree.leaves_with_path(st._asdict())
+    flat_b = jax.tree.leaves(st2._asdict())
+    for (path, a), b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(
             np.asarray(a.astype(jnp.float32)), np.asarray(b.astype(jnp.float32))
         )
-        assert str(b.sharding.spec) == str(a.sharding.spec), name
+        assert str(b.sharding.spec) == str(a.sharding.spec), path
     st3 = ck.load_sharded(tmp_path / "ckpt", p)  # unsharded restore
     np.testing.assert_array_equal(
         np.asarray(st3.carry), np.asarray(st.carry)

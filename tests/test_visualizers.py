@@ -43,7 +43,15 @@ def test_scope_validation():
     assert Oscilloscope(push_size=100, buffer_size=256).buffer_size == 300
     scope = Oscilloscope(push_size=64, buffer_size=256)
     with pytest.raises(ValueError):
-        scope.envelope(scope.init_state(1), width=7)
+        scope.envelope(scope.init_state(1), width=0)
+    with pytest.raises(ValueError):
+        scope.envelope(scope.init_state(1), width=scope.buffer_size + 1)
+    # non-dividing widths work: each column covers bs // width samples over
+    # the newest width * (bs // width) window (ADVICE r3: the live viewer's
+    # fixed 1024-px scope crashed at geometries whose rounded buffer_size
+    # was not a multiple)
+    env = scope.envelope(scope.init_state(1), width=7)
+    assert env.shape == (1, 7, 2, 2)
 
 
 def test_scope_line_colors():
