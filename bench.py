@@ -70,6 +70,8 @@ def main() -> None:
         static_palette=(
             int(sp) if sp.lstrip("-").isdigit() else sp
         ) if (sp := os.environ.get("BENCH_STATIC_PALETTE", "")) else None,
+        # BENCH_FRAMING=allk|planes|auto (round-4 all-windows kernel knob)
+        framing=os.environ.get("BENCH_FRAMING", "auto"),
     )
 
     rng = np.random.default_rng(0)

@@ -164,5 +164,172 @@ def main():
         print(f"B allk ts={ts}: {t_b:.3f} ms  maxabs={d:.2e}", flush=True)
 
 
+
+
+# ---- variants C/D: split carry+chunk operands (round-4 item-1 design) ----
+#
+# The buf planes above are CONCAT(carry, chunk) — an XLA copy of
+# (C+T)*2ch bytes per push that exists only to give the kernel one
+# contiguous operand.  When n1 | hop (bench: 800 % 32 == 0), every
+# window's carry/chunk boundary falls between whole n1-rows, so stage 1
+# evaluates as up-to-two ACCUMULATING dots over the separate operands:
+# no concat in HBM, no concat in VMEM.  D additionally emits next-push
+# carry as a kernel output (two static VMEM writes), deleting the XLA
+# new-carry pass too.
+
+CARRY_ROWS = (W - H) // PLAN.n1    # 39
+CHUNK_ROWS = (TLEN - (W - H)) // PLAN.n1
+
+
+def allk_split_kernel(carry_ref, chunk_ref, hann_ref, f2cat_ref, twcat_ref,
+                      f1blk_ref, out_l_ref, out_r_ref, *, plan, k, hop_rows,
+                      c_rows, out_carry_ref=None):
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    kw = dict(preferred_element_type=jnp.float32, precision=HIGH)
+    twr_t = twcat_ref[:, :n2]
+    twi_t = twcat_ref[:, n2:]
+    k1h = n1 // 2
+    hann = hann_ref[:]
+    f2 = f2cat_ref[:]
+
+    for ch, out_ref in ((0, out_l_ref), (1, out_r_ref)):
+        cv = carry_ref[:, ch]          # [ts, c_rows, n1]
+        kv = chunk_ref[:, ch]          # [ts, t_rows, n1]
+        if out_carry_ref is not None:
+            t_rows = kv.shape[1]
+            keep = c_rows - t_rows     # carry rows surviving to next push
+            if keep > 0:
+                out_carry_ref[:, ch, :keep] = cv[:, t_rows:]
+                out_carry_ref[:, ch, keep:] = kv
+            else:
+                out_carry_ref[:, ch] = kv[:, t_rows - c_rows:]
+        for r in range(k):
+            s0 = r * hop_rows
+            nc = max(0, min(c_rows - s0, m))   # carry rows in this window
+            parts = []
+            if nc > 0:
+                parts.append((cv[:, s0 : s0 + nc], 0))
+            if nc < m:
+                k0 = max(0, s0 - c_rows)
+                parts.append((kv[:, k0 : k0 + (m - nc)], nc))
+            b = None
+            for seg, h0 in parts:
+                x = seg * hann[h0 : h0 + seg.shape[1]]
+                d_ = jax.lax.dot_general(
+                    x, f2[h0 : h0 + seg.shape[1]], (((1,), (0,)), ((), ())),
+                    **kw)
+                b = d_ if b is None else b + d_
+            br_, bi_ = b[..., :n2], b[..., n2:]
+            cr = br_ * twr_t - bi_ * twi_t
+            ci = br_ * twi_t + bi_ * twr_t
+            c_cat = jnp.concatenate([cr, ci], axis=1)
+            d = jax.lax.dot_general(
+                f1blk_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw)
+            dr, di = d[:k1h], d[k1h:]
+            p = dr * dr + di * di
+            out_ref[r] = jnp.transpose(jnp.sqrt(p), (1, 0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "fuse_carry"))
+def stft_allk_split(carry, chunk, ts=8, fuse_carry=False):
+    """carry [S, 2, C] f32 (state), chunk [S, 2, T] f32 (planar H2D)."""
+    plan = PLAN
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    k1h = n1 // 2
+    hop_rows = H // n1
+    c_rows, t_rows = CARRY_ROWS, CHUNK_ROWS
+    hann2 = sk._scaled_hann(W, m, n1)
+    f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+    twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)
+    carry4 = carry.reshape(S, 2, c_rows, n1)
+    chunk4 = chunk.reshape(S, 2, t_rows, n1)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        allk_split_kernel, plan=plan, k=K, hop_rows=hop_rows, c_rows=c_rows)
+    if fuse_carry:
+        body = lambda *refs: kernel(*refs[:-1], out_carry_ref=refs[-1])
+    else:
+        body = kernel
+    out_specs = [
+        pl.BlockSpec((K, ts, k1h, n2), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, ts, k1h, n2), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((K, S, k1h, n2), jnp.float32),
+        jax.ShapeDtypeStruct((K, S, k1h, n2), jnp.float32),
+    ]
+    if fuse_carry:
+        out_specs.append(pl.BlockSpec((ts, 2, c_rows, n1),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((S, 2, c_rows, n1), jnp.float32))
+    outs = pl.pallas_call(
+        body,
+        grid=(S // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, 2, c_rows, n1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 2, t_rows, n1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec(hann2),
+            const_spec(f2cat),
+            const_spec(twcat),
+            const_spec(f1blk),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * S * 2 * (plan.complex_macs * 2),
+            bytes_accessed=2 * S * (TLEN + K * (k1h * n2)) * 4,
+            transcendentals=2 * K * S * k1h * n2,
+        ),
+    )(carry4, chunk4, jnp.asarray(hann2), jnp.asarray(f2cat),
+      jnp.asarray(twcat), jnp.asarray(f1blk))
+    half = k1h * n2
+    if fuse_carry:
+        ol, orr, nc = outs
+        return ol.reshape(K * S, half), orr.reshape(K * S, half), nc
+    ol, orr = outs
+    return ol.reshape(K * S, half), orr.reshape(K * S, half)
+
+
+def main_split():
+    c_len = W - H
+    carry = jnp.stack([BUF_L[:, :c_len], BUF_R[:, :c_len]], axis=1)  # [S,2,C]
+    chunk = jnp.stack([BUF_L[:, c_len:], BUF_R[:, c_len:]], axis=1)
+    ref_l, _ = stft_prod(BUF_L, BUF_R)
+    ref_l = np.asarray(ref_l)
+    for ts, fuse in ((8, False), (16, False), (8, True), (16, True)):
+        label = f"C split ts={ts} fuse_carry={int(fuse)}"
+        try:
+            res = stft_allk_split(carry, chunk, ts=ts, fuse_carry=fuse)
+            al = np.asarray(res[0])
+        except Exception as e:
+            print(f"{label}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
+        d = np.abs(al - ref_l).max()
+        if fuse:
+            nc = np.asarray(res[2]).reshape(S, 2, c_len)
+            exp = np.stack([BUF_L[:, -c_len:], BUF_R[:, -c_len:]], axis=1)
+            assert np.array_equal(nc, np.asarray(exp)), "carry out mismatch"
+
+        def fn(l, r, t=ts, f=fuse):
+            res = stft_allk_split(carry, jnp.stack(
+                [l[:, c_len:], r[:, c_len:]], axis=1), ts=t, fuse_carry=f)
+            return res[0], res[1]
+        t = scan_bench(fn)
+        print(f"{label}: {t:.3f} ms  maxabs={d:.2e}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--split" in sys.argv:
+        main_split()
+    else:
+        main()

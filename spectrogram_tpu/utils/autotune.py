@@ -43,7 +43,7 @@ DEFAULT_BLOCK_ROWS = (16, 32, 64)
 # Bump when the fused STFT kernel changes materially: cached rankings were
 # measured against a specific kernel formulation (FFTW re-plans when its
 # codelets change, for the same reason).
-_TUNER_VERSION = 5  # v5: stft kernel v4 (transposed planes + flipped stage 2)
+_TUNER_VERSION = 6  # v6: padded-lane flip (lane_pad) for n2 % 128 != 0 plans
 
 
 def _cache_key(cfg: SpectrogramConfig, device_kind: str,

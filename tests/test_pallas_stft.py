@@ -167,3 +167,64 @@ def test_lane_pad_flip_matches_unpadded(rng):
     # free-pad gate: n2=64-class plans (pad would double stage-1 tiles) stay off
     assert not stft_kernel.lane_pad_default(
         FftPlan(n=2048, n1=32, n2=64, m=32))
+
+
+def test_allk_framing_matches_plane_path(rng):
+    """Round-4 all-windows kernel (stft_mag_fused2_allk): in-kernel window
+    slices off the carry+chunk planes must be BITWISE equal to the
+    materialized-plane path, at an unaligned hop_rows (the gate the
+    element-offset buf form cannot pass)."""
+    cfg = CFG  # window 256, hop 64
+    plan = stft_kernel.make_plan(cfg)
+    for k in (1, 3, 4):
+        assert stft_kernel.split_framing_supported(cfg, k, plan)
+        w, h = cfg.window_size, cfg.hop_size
+        tlen = w + (k - 1) * h
+        buf_l = rng.standard_normal((5, tlen)).astype(np.float32) * 0.3
+        buf_r = rng.standard_normal((5, tlen)).astype(np.float32) * 0.3
+        al, ar = stft_kernel.stft_mag_fused2_allk(
+            jnp.asarray(buf_l), jnp.asarray(buf_r), cfg, k=k, interpret=True)
+        lefts = np.concatenate([buf_l[:, r*h:r*h+w] for r in range(k)], axis=0)
+        rights = np.concatenate([buf_r[:, r*h:r*h+w] for r in range(k)], axis=0)
+        rl, rr = stft_kernel.stft_mag_fused2(
+            jnp.asarray(lefts), jnp.asarray(rights), cfg, interpret=True,
+            slice_bins=False, plan=plan)
+        np.testing.assert_array_equal(np.asarray(al), np.asarray(rl))
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(rr))
+    # emit_carry returns the buffer tail in state layout
+    k = 4
+    tlen = cfg.window_size + (k - 1) * cfg.hop_size
+    buf_l = rng.standard_normal((3, tlen)).astype(np.float32)
+    buf_r = rng.standard_normal((3, tlen)).astype(np.float32)
+    _, _, nc = stft_kernel.stft_mag_fused2_allk(
+        jnp.asarray(buf_l), jnp.asarray(buf_r), cfg, k=k, interpret=True,
+        emit_carry=True)
+    c = cfg.window_size - cfg.hop_size
+    np.testing.assert_array_equal(
+        np.asarray(nc), np.stack([buf_l[:, -c:], buf_r[:, -c:]], axis=1))
+
+
+def test_split_operand_kernel_matches(rng):
+    """The split-operand form (stft_mag_fused2_split) — a MEASURED NEGATIVE
+    end-to-end (DESIGN.md round-4 ledger) kept as evidence — still has to
+    be numerically right: <= 1 ulp of the plane path (the carry/chunk
+    boundary splits one stage-1 dot into two partial sums)."""
+    cfg = CFG
+    plan = stft_kernel.make_plan(cfg)
+    k = 2
+    w, h, c = cfg.window_size, cfg.hop_size, cfg.window_size - cfg.hop_size
+    carry = rng.standard_normal((4, 2, c)).astype(np.float32) * 0.3
+    chunk = rng.standard_normal((4, 2, k * h)).astype(np.float32) * 0.3
+    ml, mr, nc = stft_kernel.stft_mag_fused2_split(
+        jnp.asarray(carry), jnp.asarray(chunk), cfg, k=k, interpret=True)
+    buf = np.concatenate([carry, chunk], axis=2)
+    lefts = np.concatenate([buf[:, 0, r*h:r*h+w] for r in range(k)], axis=0)
+    rights = np.concatenate([buf[:, 1, r*h:r*h+w] for r in range(k)], axis=0)
+    rl, rr = stft_kernel.stft_mag_fused2(
+        jnp.asarray(lefts), jnp.asarray(rights), cfg, interpret=True,
+        slice_bins=False, plan=plan)
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(rl),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(rr),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(nc), buf[:, :, -c:])
