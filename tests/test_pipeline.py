@@ -132,12 +132,15 @@ def test_fused_chain_matches_default_backend(rng):
     # route via the plane, buf, or transposed-carry kernels)
     orig_ck, orig_sk = ck.colormap_planes_builtin, sk.stft_mag_fused2
     orig_skt = sk.stft_mag_fused2_t
+    orig_ska = sk.stft_mag_fused2_allk
     ck_i = lambda *a, **kw: orig_ck(*a, **{**kw, "interpret": True})
     sk_i = lambda *a, **kw: orig_sk(*a, **{**kw, "interpret": True})
     skt_i = lambda *a, **kw: orig_skt(*a, **{**kw, "interpret": True})
+    ska_i = lambda *a, **kw: orig_ska(*a, **{**kw, "interpret": True})
     ck.colormap_planes_builtin = ck_i
     sk.stft_mag_fused2 = sk_i
     sk.stft_mag_fused2_t = skt_i
+    sk.stft_mag_fused2_allk = ska_i
     try:
         p_fused = SpectrogramPipeline(CFG, chunk_hops=2, packed_output=True,
                                       stft_backend="pallas")
@@ -164,6 +167,7 @@ def test_fused_chain_matches_default_backend(rng):
         ck.colormap_planes_builtin = orig_ck
         sk.stft_mag_fused2 = orig_sk
         sk.stft_mag_fused2_t = orig_skt
+        sk.stft_mag_fused2_allk = orig_ska
 
 
 def test_push_rejects_wrong_chunk_shape(rng):
@@ -297,9 +301,11 @@ def test_transposed_carry_matches_planar(rng, tmp_path):
 
     orig_ck, orig_sk = ck.colormap_planes_builtin, sk.stft_mag_fused2
     orig_skt = sk.stft_mag_fused2_t
+    orig_ska = sk.stft_mag_fused2_allk
     ck.colormap_planes_builtin = lambda *a, **kw: orig_ck(*a, **{**kw, "interpret": True})
     sk.stft_mag_fused2 = lambda *a, **kw: orig_sk(*a, **{**kw, "interpret": True})
     sk.stft_mag_fused2_t = lambda *a, **kw: orig_skt(*a, **{**kw, "interpret": True})
+    sk.stft_mag_fused2_allk = lambda *a, **kw: orig_ska(*a, **{**kw, "interpret": True})
     try:
         p_pl = SpectrogramPipeline(CFG, chunk_hops=2, packed_output=True,
                                    stft_backend="pallas")
@@ -333,6 +339,7 @@ def test_transposed_carry_matches_planar(rng, tmp_path):
         ck.colormap_planes_builtin = orig_ck
         sk.stft_mag_fused2 = orig_sk
         sk.stft_mag_fused2_t = orig_skt
+        sk.stft_mag_fused2_allk = orig_ska
 
 
 def test_static_palette_matches_dynamic(rng):
