@@ -446,7 +446,18 @@ class SpectrogramPipeline:
         pid = jnp.broadcast_to(
             jnp.asarray(palette_id, jnp.int32), state.palette_id.shape
         )
-        return state._replace(palette_id=pid, tables=self.state_tables_for(pid))
+        # A SCALAR id (every stream on one palette — the reference's own
+        # mode, one scheme per widget) stores the table as [1, R*4]: the
+        # colormap kernels read it as SMEM scalars (_uniform_builtin_kernel,
+        # no per-row broadcasts) and switching stays a pure state update.
+        # Structure-changing (uniform <-> per-stream) pushes re-trace once.
+        if np.ndim(palette_id) == 0 and self.builtin_tables is not None:
+            tables = self.state_tables_for(
+                jnp.asarray([palette_id], jnp.int32)
+            )
+        else:
+            tables = self.state_tables_for(pid)
+        return state._replace(palette_id=pid, tables=tables)
 
     def state_tables_for(self, palette_id: jax.Array) -> tuple:
         """The pre-picked kernel-table tuple for a [S] palette-id array:
@@ -763,7 +774,7 @@ class SpectrogramPipeline:
 
     @staticmethod
     def _expand_tables(t: jax.Array, k: int, order: str) -> jax.Array:
-        if k == 1:
+        if k == 1 or t.shape[0] == 1:  # uniform tables serve any row count
             return t
         return jnp.tile(t, (k, 1)) if order == "tile" else jnp.repeat(t, k, axis=0)
 

@@ -400,6 +400,79 @@ def _generic_word_tile(left, right, mat_tile, u_ref, v_ref, *,
     return q(0) | (q(1) << 8) | (q(2) << 16) | (q(3) << 24)
 
 
+def _uniform_builtin_kernel(
+    left_ref,    # [TS, B] f32
+    right_ref,   # [TS, B] f32
+    mat_ref,     # [B, H] f32
+    tab_ref,     # [1, R*4] f32 in SMEM — ONE runtime table for every row
+    out_ref,     # [TS, H] i32 packed RGBA8888
+    *,
+    min_db: float,
+    max_db: float,
+    db_eps: float,
+    res: int,
+    precision,
+    subtile: int,
+):
+    """Uniform-palette colormap: every row shares ONE RUNTIME table, read
+    as SMEM scalars.
+
+    Between the per-row kernel (tables in VMEM, [TS,1]->[TS,P] lane
+    broadcasts per tent tap — the ~0.37 ms/push VPU cost the round-3
+    ablation isolated) and the static kernel (table baked at compile time,
+    zero-weight elision, but palette switch = recompile) sits this one:
+    scalar table reads broadcast for free and the palette is still a pure
+    STATE update (set_palette with a scalar id re-picks the [1, R*4] row;
+    no recompile once both modes are traced).  The reference's actual
+    operating mode — one palette per widget, switched at runtime
+    (gpu_spectrogram.rs:88, main.rs:102-104)."""
+    left = left_ref[:]
+    right = right_ref[:]
+    stereo = tab_ref[0, 3]
+    h = mat_ref.shape[1]
+    sub = res // 4
+    segment_ok = res % 4 == 0 and sub & (sub - 1) == 0
+    for hc in range(h // subtile):
+        sl = slice(hc * subtile, (hc + 1) * subtile)
+        xu, xv = _resample_and_laws(
+            left, right, mat_ref[:, sl], min_db=min_db, max_db=max_db,
+            db_eps=db_eps, res=res, precision=precision,
+        )
+        x_color = stereo * xv + (1.0 - stereo) * xu
+        rgb = [jnp.zeros(xu.shape, jnp.float32) for _ in range(3)]
+        if segment_ok:
+            seg = jnp.minimum((x_color * (1.0 / sub)).astype(jnp.int32), 3)
+            xl = x_color - seg.astype(jnp.float32) * sub
+            is0 = seg == 0
+            is2 = seg == 2
+            lo_half = seg <= 1
+            for tl in range(sub + 1):
+                w = jnp.clip(1.0 - jnp.abs(xl - tl), 0.0, 1.0)
+                for c in range(3):
+                    def ent(s):
+                        return tab_ref[0, min(s * sub + tl, res - 1) * 4 + c]
+
+                    v = jnp.where(
+                        lo_half,
+                        jnp.where(is0, ent(0), ent(1)),
+                        jnp.where(is2, ent(2), ent(3)),
+                    )
+                    rgb[c] = rgb[c] + w * v
+        else:
+            for t in range(res):
+                w = jnp.clip(1.0 - jnp.abs(x_color - t), 0.0, 1.0)
+                for c in range(3):
+                    rgb[c] = rgb[c] + w * tab_ref[0, t * 4 + c]
+        alpha = stereo * (xu * (1.0 / (res - 1))) + (1.0 - stereo)
+
+        def q(x):
+            return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.int32)
+
+        out_ref[:, sl] = (
+            q(rgb[0]) | (q(rgb[1]) << 8) | (q(rgb[2]) << 16) | (q(alpha) << 24)
+        )
+
+
 def _static_builtin_kernel(
     left_ref,    # [TS, B] f32
     right_ref,   # [TS, B] f32
@@ -491,11 +564,12 @@ def _static_generic_kernel(
 
 def _tables_kernel_and_operands(color_tables, *, kw, subtile):
     """Dispatch on the table format: a single [N, R*4] array selects the
-    specialized built-in kernel; a (u_flat, v_flat) JAX-array tuple selects
-    the generic two-table kernel; a plain PYTHON tuple of floats (length
-    R*4) selects the static single-palette kernel with no table operand;
-    a pair of float tuples selects the static GENERIC kernel.
-    Returns (kernel_fn, [table operands], res)."""
+    specialized built-in kernel ([1, R*4] = the UNIFORM single-runtime-
+    palette kernel, tables in SMEM); a (u_flat, v_flat) JAX-array tuple
+    selects the generic two-table kernel; a plain PYTHON tuple of floats
+    (length R*4) selects the static single-palette kernel with no table
+    operand; a pair of float tuples selects the static GENERIC kernel.
+    Returns (kernel_fn, [table operands], res, uniform)."""
     if isinstance(color_tables, tuple) and color_tables and isinstance(
         color_tables[0], float
     ):
@@ -504,7 +578,7 @@ def _tables_kernel_and_operands(color_tables, *, kw, subtile):
             _static_builtin_kernel, table=color_tables, res=res,
             subtile=subtile, **kw
         )
-        return kernel, [], res
+        return kernel, [], res, False
     if (
         isinstance(color_tables, tuple)
         and len(color_tables) == 2
@@ -518,19 +592,24 @@ def _tables_kernel_and_operands(color_tables, *, kw, subtile):
             _static_generic_kernel, u_row=u_row, v_row=v_row, res=res,
             subtile=subtile, **kw
         )
-        return kernel, [], res
+        return kernel, [], res, False
     if isinstance(color_tables, (tuple, list)):
         u_flat, v_flat = color_tables
         res = u_flat.shape[1] // 4
         kernel = functools.partial(
             _generic_kernel, res=res, subtile=subtile, **kw
         )
-        return kernel, [u_flat, v_flat], res
+        return kernel, [u_flat, v_flat], res, False
     res = color_tables.shape[1] // 4
+    if color_tables.shape[0] == 1:
+        kernel = functools.partial(
+            _uniform_builtin_kernel, res=res, subtile=subtile, **kw
+        )
+        return kernel, [color_tables], res, True
     kernel = functools.partial(
         _builtin_kernel, res=res, subtile=subtile, **kw
     )
-    return kernel, [color_tables], res
+    return kernel, [color_tables], res, False
 
 
 @functools.partial(
@@ -567,6 +646,8 @@ def _normalize_period_tables(tables, n: int, ts: int, table_period):
     tb_blocks) with tb_blocks=None meaning the identity map."""
     if table_period is None or not tables:
         return tables, None
+    if tables[0].shape[0] == 1:
+        return tables, None  # uniform single-table mode: no expansion ever
     if n % table_period or tables[0].shape[0] != table_period:
         raise ValueError(
             f"table_period={table_period} does not tile {n} rows of "
@@ -634,7 +715,10 @@ def colormap_planes_builtin(
         left = jnp.pad(left, ((0, pad), (0, 0)))
         right = jnp.pad(right, ((0, pad), (0, 0)))
         if tb_blocks is None:
-            tables = [jnp.pad(t, ((0, pad), (0, 0))) for t in tables]
+            tables = [
+                t if t.shape[0] == 1 else jnp.pad(t, ((0, pad), (0, 0)))
+                for t in tables
+            ]
     n_pad = left.shape[0]
     th = block_cols
     if h % th:
@@ -647,7 +731,7 @@ def colormap_planes_builtin(
         db_eps=cfg.db_epsilon,
         precision=precision,
     )
-    kernel, tables, res = _tables_kernel_and_operands(
+    kernel, tables, res, uniform = _tables_kernel_and_operands(
         static_table
         if static_table is not None
         else (tables if len(tables) > 1 else tables[0]),
@@ -658,10 +742,16 @@ def colormap_planes_builtin(
         if tb_blocks is None
         else (lambda i, j: (i % tb_blocks, 0))
     )
-    table_specs = [
-        pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM)
-        for _ in tables
-    ]
+    if uniform:
+        table_specs = [
+            pl.BlockSpec((1, res * 4), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM)
+        ]
+    else:
+        table_specs = [
+            pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM)
+            for _ in tables
+        ]
     # 2-D grid (row blocks x pixel-column tiles).  Between consecutive grid
     # steps the row-block index map is unchanged while j sweeps, so Pallas
     # skips re-fetching the row planes; the matrix tiles stream.
@@ -791,7 +881,10 @@ def colormap_planes_banded(
         left = jnp.pad(left, ((0, pad), (0, 0)))
         right = jnp.pad(right, ((0, pad), (0, 0)))
         if tb_blocks is None:
-            tables = [jnp.pad(t, ((0, pad), (0, 0))) for t in tables]
+            tables = [
+                t if t.shape[0] == 1 else jnp.pad(t, ((0, pad), (0, 0)))
+                for t in tables
+            ]
     n_pad = left.shape[0]
     th = block_cols
     tmap = (
@@ -808,7 +901,7 @@ def colormap_planes_banded(
         if h_seg % th:
             mat_seg = jnp.pad(mat_seg, ((0, 0), (0, th - h_seg % th)))
         h_pad = mat_seg.shape[1]
-        kernel, seg_tables, res = _tables_kernel_and_operands(
+        kernel, seg_tables, res, uniform = _tables_kernel_and_operands(
             static_table
             if static_table is not None
             else (tables if len(tables) > 1 else tables[0]),
@@ -845,10 +938,16 @@ def colormap_planes_banded(
                 (ts, band), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             )
             plane_l, plane_r = left[:, lo:hi], right[:, lo:hi]
-        table_specs = [
-            pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM)
-            for _ in seg_tables
-        ]
+        if uniform:
+            table_specs = [
+                pl.BlockSpec((1, res * 4), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM)
+            ]
+        else:
+            table_specs = [
+                pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM)
+                for _ in seg_tables
+            ]
         out = pl.pallas_call(
             kernel,
             grid=(n_pad // ts, h_pad // th),

@@ -87,10 +87,15 @@ def rgba_sharding(mesh: Mesh, packed: bool = False) -> NamedSharding:
 
 
 def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
-    """Place an (unsharded) state onto the mesh."""
-    return jax.device_put(
-        state, state_shardings(mesh, state.carry.ndim, len(state.tables))
-    )
+    """Place an (unsharded) state onto the mesh.  Uniform-palette tables
+    ([1, R*4], from a scalar set_palette) replicate — there is no stream
+    axis to shard."""
+    ss = state_shardings(mesh, state.carry.ndim, len(state.tables))
+    if state.tables and state.tables[0].shape[0] == 1:
+        ss = ss._replace(
+            tables=tuple(NamedSharding(mesh, P()) for _ in state.tables)
+        )
+    return jax.device_put(state, ss)
 
 
 def sharded_init(

@@ -21,6 +21,7 @@ Classes pinned here (each exercises a distinct compile path):
                   2400/4800 geometry, fft.rs:33,44)
   small_flip    — low-latency 512/1024 plan (small-block shapes, ts=64)
   static        — static_palette colormap (LUT baked as scalars)
+  uniform       — scalar set_palette -> SMEM-scalar uniform-table kernel
   generic       — user-defined FactoredScheme registry (two-table kernel)
   transposed    — transposed-carry state format (4D kernel operand)
   k1            — chunk_hops=1 (channel planes ARE the window operands)
@@ -175,6 +176,23 @@ def class_static(rng):
     _push_twice(p, 256, rng)
 
 
+def class_uniform(rng):
+    """Scalar set_palette -> [1, R*4] SMEM-scalar table kernel (round 4:
+    faster than the static bake AND runtime-switchable)."""
+    import jax.numpy as jnp
+
+    p = _pl(_cfg_bench(), chunk_hops=8, store_ring=False, packed_output=True)
+    s = _n_streams(256)
+    state = p.set_palette(p.init_state(s), 2)
+    assert state.tables[0].shape[0] == 1, "scalar set_palette lost uniform mode"
+    out = None
+    for _ in range(2):
+        chunk = jnp.asarray(_mk_chunk(rng, s, p))
+        state, out = p.push(state, chunk)
+    rows = np.asarray(out).view(np.uint8)
+    assert rows.any() and np.isfinite(rows.astype(np.float32)).all()
+
+
 def class_generic(rng):
     from spectrogram_tpu.color.colorscheme import (
         DEFAULT_COLOR_SCHEMES, FactoredScheme,
@@ -248,6 +266,7 @@ CLASSES = (
     ("lane_pad", class_lane_pad),
     ("small_flip", class_small_flip),
     ("static", class_static),
+    ("uniform", class_uniform),
     ("generic", class_generic),
     ("transposed", class_transposed),
     ("k1", class_k1),

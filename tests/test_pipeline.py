@@ -467,3 +467,38 @@ def test_render_viewport_width_matches_gl_sampling_law(rng):
         np.asarray(p.render_viewport(s, width=p.viewport_rows)),
         np.asarray(p.render_viewport(s)),
     )
+
+
+def test_uniform_palette_mode_matches_per_stream(rng):
+    """Scalar set_palette -> [1, R*4] uniform tables -> the SMEM-scalar
+    colormap kernel; output must be BITWISE equal to the per-stream path
+    with every stream on that palette (full-loop vs segment-tent tap
+    weights are bit-identical by the exactness argument in
+    _tent_lut_channels)."""
+    import jax
+
+    p = SpectrogramPipeline(CFG, chunk_hops=4, packed_output=True,
+                            stft_backend="pallas", colormap_backend="pallas",
+                            kernel_interpret=True)
+    dup = lambda st: jax.tree.map(jnp.copy, st)
+    s_uni = p.set_palette(p.init_state(3), 2)            # scalar -> uniform
+    assert s_uni.tables[0].shape[0] == 1, s_uni.tables[0].shape
+    s_per = p.set_palette(p.init_state(3), jnp.asarray([2, 2, 2]))
+    assert s_per.tables[0].shape[0] == 3
+    for _ in range(2):
+        chunk = jnp.asarray(
+            rng.standard_normal((3, p.chunk_size, 2)).astype(np.float32) * 0.2
+        )
+        s_uni, out_u = p.push(s_uni, chunk)
+        s_per, out_p = p.push(s_per, chunk)
+        np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_p))
+    # viewport render also rides the uniform tables
+    np.testing.assert_array_equal(
+        np.asarray(p.render_viewport(s_uni)),
+        np.asarray(p.render_viewport(s_per)),
+    )
+    # switching uniform -> per-stream -> uniform stays a pure state update
+    s_mix = p.set_palette(s_uni, jnp.asarray([0, 1, 2]))
+    assert s_mix.tables[0].shape[0] == 3
+    s_back = p.set_palette(s_mix, 1)
+    assert s_back.tables[0].shape[0] == 1
