@@ -95,14 +95,25 @@ def main() -> None:
 
         return jax.lax.scan(body, state, None, length=scan_len)
 
+    # BENCH_UNIFORM_PALETTE=1: scalar set_palette -> the [1, R*4]
+    # SMEM-scalar uniform colormap kernel (runtime-switchable single-
+    # palette mode; the headline stays per-stream multi-tenant tables)
+    uniform = os.environ.get("BENCH_UNIFORM_PALETTE", "0") == "1"
+
+    def init_state():
+        state = pipeline.init_state(n_streams)
+        if uniform:
+            state = pipeline.set_palette(state, 1)
+        return state
+
     scan_fn = jax.jit(scan_pushes, donate_argnums=0)
-    state = pipeline.init_state(n_streams)
+    state = init_state()
     state, sums = scan_fn(state, chunk)  # compile + warmup
     np.asarray(sums)
 
     per_push = []
     for _ in range(trials):
-        state = pipeline.init_state(n_streams)
+        state = init_state()
         t0 = time.perf_counter()
         state, sums = scan_fn(state, chunk)
         np.asarray(sums)  # forces completion through the relay
@@ -112,7 +123,7 @@ def main() -> None:
 
     # --- latency: single dispatched push (harness upper bound) ---
     push_jit = pipeline.push_planar if planar else pipeline.push
-    lat_state = pipeline.init_state(n_streams)
+    lat_state = init_state()
     lat_state, rgba = push_jit(lat_state, chunk)
     np.asarray(rgba[0, 0])
     lats = []

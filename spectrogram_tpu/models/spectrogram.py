@@ -451,7 +451,7 @@ class SpectrogramPipeline:
         # colormap kernels read it as SMEM scalars (_uniform_builtin_kernel,
         # no per-row broadcasts) and switching stays a pure state update.
         # Structure-changing (uniform <-> per-stream) pushes re-trace once.
-        if np.ndim(palette_id) == 0 and self.builtin_tables is not None:
+        if np.ndim(palette_id) == 0:
             tables = self.state_tables_for(
                 jnp.asarray([palette_id], jnp.int32)
             )

@@ -473,6 +473,66 @@ def _uniform_builtin_kernel(
         )
 
 
+def _uniform_generic_kernel(
+    left_ref, right_ref, mat_ref, u_ref, v_ref, out_ref, *,
+    min_db: float, max_db: float, db_eps: float, res: int,
+    precision, subtile: int,
+):
+    """Uniform-palette GENERIC (two-axis factored) colormap: both factor
+    rows arrive [1, R*4] in SMEM and are read as scalars — the
+    runtime-switchable single-palette mode for user-defined FactoredSchemes
+    outside the built-in mono/stereo shape (same idea as
+    _uniform_builtin_kernel; full bilinear LUT[i,j,c] = U[i,c]*V[j,c])."""
+    left = left_ref[:]
+    right = right_ref[:]
+    h = mat_ref.shape[1]
+    sub = res // 4
+    segment_ok = res % 4 == 0 and sub & (sub - 1) == 0
+    for hc in range(h // subtile):
+        sl = slice(hc * subtile, (hc + 1) * subtile)
+        xu, xv = _resample_and_laws(
+            left, right, mat_ref[:, sl], min_db=min_db, max_db=max_db,
+            db_eps=db_eps, res=res, precision=precision,
+        )
+        cu = [jnp.zeros(xu.shape, jnp.float32) for _ in range(4)]
+        cv = [jnp.zeros(xu.shape, jnp.float32) for _ in range(4)]
+
+        def accumulate(x, tab_ref, acc):
+            if segment_ok:
+                seg = jnp.minimum((x * (1.0 / sub)).astype(jnp.int32), 3)
+                xl = x - seg.astype(jnp.float32) * sub
+                is0 = seg == 0
+                is2 = seg == 2
+                lo_half = seg <= 1
+                for tl in range(sub + 1):
+                    w = jnp.clip(1.0 - jnp.abs(xl - tl), 0.0, 1.0)
+                    for c in range(4):
+                        def ent(s):
+                            return tab_ref[0, min(s * sub + tl, res - 1) * 4 + c]
+
+                        val = jnp.where(
+                            lo_half,
+                            jnp.where(is0, ent(0), ent(1)),
+                            jnp.where(is2, ent(2), ent(3)),
+                        )
+                        acc[c] = acc[c] + w * val
+            else:
+                for t in range(res):
+                    w = jnp.clip(1.0 - jnp.abs(x - t), 0.0, 1.0)
+                    for c in range(4):
+                        acc[c] = acc[c] + w * tab_ref[0, t * 4 + c]
+
+        accumulate(xu, u_ref, cu)
+        accumulate(xv, v_ref, cv)
+
+        def q(c):
+            return jnp.clip(
+                jnp.round(cu[c] * cv[c] * 255.0), 0.0, 255.0
+            ).astype(jnp.int32)
+
+        out_ref[:, sl] = q(0) | (q(1) << 8) | (q(2) << 16) | (q(3) << 24)
+
+
 def _static_builtin_kernel(
     left_ref,    # [TS, B] f32
     right_ref,   # [TS, B] f32
@@ -596,6 +656,11 @@ def _tables_kernel_and_operands(color_tables, *, kw, subtile):
     if isinstance(color_tables, (tuple, list)):
         u_flat, v_flat = color_tables
         res = u_flat.shape[1] // 4
+        if u_flat.shape[0] == 1:
+            kernel = functools.partial(
+                _uniform_generic_kernel, res=res, subtile=subtile, **kw
+            )
+            return kernel, [u_flat, v_flat], res, True
         kernel = functools.partial(
             _generic_kernel, res=res, subtile=subtile, **kw
         )
@@ -746,6 +811,7 @@ def colormap_planes_builtin(
         table_specs = [
             pl.BlockSpec((1, res * 4), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM)
+            for _ in tables
         ]
     else:
         table_specs = [
@@ -942,6 +1008,7 @@ def colormap_planes_banded(
             table_specs = [
                 pl.BlockSpec((1, res * 4), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM)
+                for _ in seg_tables
             ]
         else:
             table_specs = [

@@ -196,3 +196,27 @@ def test_static_palette_generic_scheme(rng):
     _, out_d = dyn.push(s_d, chunk)
     _, out_s = st.push(s_s, chunk)
     np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_s))
+
+
+def test_uniform_generic_palette_matches_per_stream(rng):
+    """Scalar set_palette on a GENERIC (user FactoredScheme) registry takes
+    the uniform two-table SMEM kernel; bitwise vs per-stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectrogram_tpu.color.colorscheme import DEFAULT_COLOR_SCHEMES
+
+    schemes = (_nonseparable_builtin_scheme(),) + tuple(DEFAULT_COLOR_SCHEMES[:2])
+    p = SpectrogramPipeline(CFG, chunk_hops=2, packed_output=True,
+                            stft_backend="pallas", colormap_backend="pallas",
+                            kernel_interpret=True, schemes=schemes)
+    assert p.generic_tables is not None
+    s_uni = p.set_palette(p.init_state(2), 1)
+    assert len(s_uni.tables) == 2 and s_uni.tables[0].shape[0] == 1
+    s_per = p.set_palette(p.init_state(2), jnp.asarray([1, 1]))
+    chunk = jnp.asarray(
+        rng.standard_normal((2, p.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    s_uni, out_u = p.push(s_uni, chunk)
+    s_per, out_p = p.push(s_per, chunk)
+    np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_p))
