@@ -108,6 +108,9 @@ def main():
     chunk = jnp.asarray(pcm if planar else pcm.transpose(0, 2, 1).copy())
     push = pipeline.push_planar_impl if planar else pipeline.push_impl
     state = pipeline.init_state(n_streams)
+    if os.environ.get("PROFILE_UNIFORM", "0") == "1":
+        # scalar set_palette -> the SMEM-scalar uniform colormap kernel
+        state = pipeline.set_palette(state, 1)
     log_dir = f"/tmp/sg_trace_{n_streams}_{precision}" + ("_pl" if planar else "")
     trace_scan(push, state, chunk, scan_len, log_dir)
     op_total, op_count = parse_trace(log_dir, scan_len)

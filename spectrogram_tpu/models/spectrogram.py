@@ -248,6 +248,7 @@ class SpectrogramPipeline:
         # deletes.  MEASURED NEGATIVE, kept in the experiment file.
         if framing not in ("auto", "allk", "planes"):
             raise ValueError(f"unknown framing {framing!r}")
+        self.framing = framing
         allk_ok = (
             self.fused_chain
             and not self.carry_transposed
@@ -370,6 +371,46 @@ class SpectrogramPipeline:
             jax.lax.Precision.HIGHEST
             if precision_profile == "exact"
             else jax.lax.Precision.DEFAULT
+        )
+
+    def override_plan(self, plan, block_rows: int | None = None) -> None:
+        """Autotuner hook: swap the FFT factorization and recompute EVERY
+        plan-derived structure — lane_pad routing, the (possibly padded)
+        resample matrix + banding plan, and the framing gates.  A bare
+        `pipeline.fft_plan = plan` leaves those stale: for lane_pad
+        geometries the padded-bin resample matrix then mismatches the
+        kernel output width (the tuner's 50x96/40x120 candidates failed
+        exactly this way, round 4)."""
+        from spectrogram_tpu.ops.pallas import stft_kernel as _sk
+
+        self.fft_plan = plan
+        self.stft_block_rows = block_rows
+        self.stft_lane_pad = (
+            self.fused_chain and plan is not None
+            and _sk.lane_pad_default(plan)
+        )
+        self.carry_transposed = self.carry_transposed and (
+            not self.stft_lane_pad
+            and _sk.carry_transposed_supported(self.cfg, plan)
+        )
+        allk_ok = (
+            self.fused_chain
+            and not self.carry_transposed
+            and _sk.split_framing_supported(self.cfg, self.chunk_hops, plan)
+        )
+        self.allk_framing = allk_ok and (
+            self.framing == "allk"
+            or (self.framing == "auto" and self.chunk_hops > 1)
+        )
+        resample_full_t = cmap_ops.resample_matrix_full(self.cfg).T
+        if self.stft_lane_pad:
+            resample_full_t = self._pad_resample_rows(resample_full_t)
+        self.resample_t_full = jnp.asarray(resample_full_t)
+        segs = cmap_kernel.band_segments(resample_full_t)
+        self.cmap_segments_full = (
+            segs
+            if cmap_kernel._banded_worthwhile(segs, *resample_full_t.shape)
+            else None
         )
 
     def _pad_resample_rows(self, resample_t: "np.ndarray") -> "np.ndarray":

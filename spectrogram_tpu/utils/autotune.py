@@ -104,8 +104,7 @@ def measure_stft(
                   precision_profile="fast")
     kwargs.update(pipeline_kwargs or {})
     pipeline = SpectrogramPipeline(cfg, **kwargs)
-    pipeline.fft_plan = plan
-    pipeline.stft_block_rows = block_rows
+    pipeline.override_plan(plan, block_rows)
     rng = np.random.default_rng(0)
     chunk = jnp.asarray(
         rng.standard_normal((n_streams, pipeline.chunk_size, 2)).astype(np.float32)
