@@ -133,6 +133,16 @@ def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
     n2 = padded_n2(plan) if lane_pad else plan.n2
     if flip is None:
         flip = True if lane_pad else flip_supported(plan)
+    k1h = n1 // 2
+    if flip:
+        d = _fft_stage2_flip(
+            x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+            plan=plan, precision=precision, transposed=transposed,
+            lane_pad=lane_pad,
+        )                                                 # [2k1h, TS, n2]
+        dr, di = d[:k1h], d[k1h:]
+        p = dr * dr + di * di                             # power, pre-transpose
+        return jnp.transpose(jnp.sqrt(p), (1, 0, 2))      # [TS, k1h, n2]
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
     twr_t = twcat_ref[:, :n2]                             # [n1, n2]
     twi_t = twcat_ref[:, n2:]
@@ -145,14 +155,6 @@ def _fft_mag_value(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
     cr = br * twr_t - bi * twi_t                          # [TS, n1, n2]
     ci = br * twi_t + bi * twr_t
     c_cat = jnp.concatenate([cr, ci], axis=1)             # [TS, 2n1, n2]
-    k1h = n1 // 2
-    if flip:
-        d = jax.lax.dot_general(
-            f1blk_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
-        )                                                 # [2k1h, TS, n2]
-        dr, di = d[:k1h], d[k1h:]
-        p = dr * dr + di * di                             # power, pre-transpose
-        return jnp.transpose(jnp.sqrt(p), (1, 0, 2))      # [TS, k1h, n2]
     # v3c orientation for plans where dT cannot compile (see flip_supported)
     d = jax.lax.dot_general(
         c_cat, f1blk_ref[:], (((1,), (0,)), ((), ())), **kw
@@ -175,6 +177,62 @@ def _fft_channel(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
         plan=plan, precision=precision, transposed=transposed,
         lane_pad=lane_pad,
     )
+
+
+def _fft_stage2_flip(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+                     *, plan, precision, transposed, lane_pad):
+    """Shared front (Hann + stage 1 + twiddle + flipped stage 2) of the
+    flip-orientation paths; returns d = [2k1h, TS, n2o]."""
+    n1, m = plan.n1, plan.m
+    n2 = padded_n2(plan) if lane_pad else plan.n2
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+    twr_t = twcat_ref[:, :n2]
+    twi_t = twcat_ref[:, n2:]
+    x = x * hann_ref[:]
+    contract = ((2,), (0,)) if transposed else ((1,), (0,))
+    b = jax.lax.dot_general(x, f2cat_ref[:], (contract, ((), ())), **kw)
+    br, bi = b[..., :n2], b[..., n2:]
+    cr = br * twr_t - bi * twi_t
+    ci = br * twi_t + bi * twr_t
+    c_cat = jnp.concatenate([cr, ci], axis=1)
+    return jax.lax.dot_general(
+        f1blk_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
+    )                                                     # [2k1h, TS, n2]
+
+
+def _fft_channel_2d(x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref, out_ref,
+                    *, plan, precision, transposed=False, lane_pad=False):
+    """Flip-path channel writing a FLAT [TS, k1h*n2o] output: per-k1
+    magnitude rows store as 128-aligned lane-dim slices, so (a) the
+    leading-axis output transpose disappears (d[k1] is already [TS, n2])
+    and (b) the kernel's output tiling IS the [N, half] 2D layout the
+    colormap kernel reads — deleting the XLA relayout copies between the
+    two kernels (0.37 ms/push at 10,240 streams, HLO/profiler-identified:
+    copy_bitcast_fusion on the 'stft_mag_fused2/reshape' edge).  Requires
+    the flip orientation (direct or lane-padded) and n2o % 128 == 0."""
+    n2o = padded_n2(plan) if lane_pad else plan.n2
+    k1h = plan.n1 // 2
+    d = _fft_stage2_flip(
+        x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+        plan=plan, precision=precision, transposed=transposed,
+        lane_pad=lane_pad,
+    )
+    dr, di = d[:k1h], d[k1h:]
+    for k1 in range(k1h):
+        p = dr[k1] * dr[k1] + di[k1] * di[k1]             # [TS, n2o]
+        out_ref[:, k1 * n2o : (k1 + 1) * n2o] = jnp.sqrt(p)
+
+
+def _kernel2_2d(
+    left_ref, right_ref, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+    out_l_ref, out_r_ref,
+    *, plan, precision, transposed=False, lane_pad=False,
+):
+    """v4 kernel body with flat 2D outputs (see _fft_channel_2d)."""
+    for ref, out_ref in ((left_ref, out_l_ref), (right_ref, out_r_ref)):
+        _fft_channel_2d(ref[:], hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+                        out_ref, plan=plan, precision=precision,
+                        transposed=transposed, lane_pad=lane_pad)
 
 
 def _padded_stage1_constants(plan: FftPlan):
@@ -287,10 +345,24 @@ def stft_mag_fused2(
     def const_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM)
 
+    # Flat 2D outputs whenever the flip orientation runs: the kernel's
+    # output tiling then IS the [N, half] layout the colormap kernel
+    # reads, deleting the XLA relayout copies between the two kernels
+    # (0.37 ms/push at 10,240 streams) AND the in-kernel output
+    # transpose (see _fft_channel_2d).
+    out_2d = lane_pad or flip_supported(plan)
     kernel = functools.partial(
-        _kernel2, plan=plan, precision=precision, transposed=True,
-        lane_pad=lane_pad,
+        _kernel2_2d if out_2d else _kernel2,
+        plan=plan, precision=precision, transposed=True, lane_pad=lane_pad,
     )
+    if out_2d:
+        out_spec = pl.BlockSpec((ts, half_o), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((n_pad, half_o), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((ts, n1 // 2, n2o), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((n_pad, n1 // 2, n2o), jnp.float32)
     mag_l, mag_r = pl.pallas_call(
         kernel,
         grid=(n_pad // ts,),
@@ -302,18 +374,8 @@ def stft_mag_fused2(
             const_spec(twcat),
             const_spec(f1blk),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (ts, n1 // 2, n2o), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (ts, n1 // 2, n2o), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2o), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, n1 // 2, n2o), jnp.float32),
-        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[out_sds, out_sds],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * 2 * (plan.complex_macs * 2),
             bytes_accessed=2 * n_pad * (w + half_o) * 4,
@@ -325,8 +387,8 @@ def stft_mag_fused2(
     if padded_layout:
         return mag_l.reshape(n_pad, half_o)[:n], mag_r.reshape(n_pad, half_o)[:n]
     if lane_pad:
-        mag_l = mag_l[:, :, :n2]
-        mag_r = mag_r[:, :, :n2]
+        mag_l = mag_l.reshape(n_pad, n1 // 2, n2o)[:, :, :n2]
+        mag_r = mag_r.reshape(n_pad, n1 // 2, n2o)[:, :, :n2]
     mag_l = mag_l.reshape(n_pad, half)[:n]
     mag_r = mag_r.reshape(n_pad, half)[:n]
     if slice_bins:
@@ -472,6 +534,9 @@ def _allk_kernel(
     carry (the buffer's last carry_rows rows) — two static VMEM writes that
     delete the XLA new-carry pass."""
     m = plan.m
+    out_2d = lane_pad or flip_supported(plan)
+    n2o = padded_n2(plan) if lane_pad else plan.n2
+    k1h = plan.n1 // 2
 
     for ch, (ref, out_ref) in enumerate(
         ((bl_ref, out_l_ref), (br_ref, out_r_ref))
@@ -481,6 +546,20 @@ def _allk_kernel(
             out_carry_ref[:, ch] = v[:, v.shape[1] - carry_rows :]
         for r in range(k):
             x = v[:, r * hop_rows : r * hop_rows + m, :]
+            if out_2d:
+                # flat [ts, half] output: no in-kernel transpose, and the
+                # output tiling matches the colormap operand layout (see
+                # _fft_channel_2d)
+                d = _fft_stage2_flip(
+                    x, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+                    plan=plan, precision=precision, transposed=False,
+                    lane_pad=lane_pad,
+                )
+                dr, di = d[:k1h], d[k1h:]
+                for k1 in range(k1h):
+                    p = dr[k1] * dr[k1] + di[k1] * di[k1]
+                    out_ref[r, :, k1 * n2o : (k1 + 1) * n2o] = jnp.sqrt(p)
+                continue
             # same orientation selection as the plane path (flip where
             # Mosaic supports it, v3c otherwise, padded flip under
             # lane_pad) -> bitwise-equal across ALL plan classes
@@ -561,16 +640,17 @@ def stft_mag_fused2_allk(
         _allk_kernel, plan=plan, k=k, hop_rows=h // n1, precision=precision,
         lane_pad=lane_pad, carry_rows=c_rows,
     )
-    out_specs = [
-        pl.BlockSpec((k, ts, k1h, n2o), lambda i: (0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, ts, k1h, n2o), lambda i: (0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((k, s_pad, k1h, n2o), jnp.float32),
-        jax.ShapeDtypeStruct((k, s_pad, k1h, n2o), jnp.float32),
-    ]
+    if lane_pad or flip_supported(plan):
+        # flat per-window rows (see _allk_kernel's out_2d path)
+        out_spec = pl.BlockSpec((k, ts, half_o), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((k, s_pad, half_o), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((k, ts, k1h, n2o), lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((k, s_pad, k1h, n2o), jnp.float32)
+    out_specs = [out_spec, out_spec]
+    out_shape = [out_sds, out_sds]
     if emit_carry:
         body = lambda *refs: kernel(*refs[:-1], out_carry_ref=refs[-1])
         out_specs.append(

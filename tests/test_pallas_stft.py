@@ -111,20 +111,21 @@ def test_flip_gate_and_block_defaults():
     import jax
 
     outs = []
-    for flip in (True, False):
+    for force_noflip in (False, True):
         # identical static args would hit the jit cache and compare the
-        # first result to itself; drop the cache so the patched kernel
-        # actually traces
+        # first result to itself; drop the cache so the patched gate
+        # actually traces.  Patching flip_supported() flips BOTH the
+        # stage-2 orientation and the round-4 flat-2D output path.
         jax.clear_caches()
-        orig = stft_kernel._fft_mag_value
-        patched = functools.partial(orig, flip=flip)
-        stft_kernel._fft_mag_value = patched
+        orig = stft_kernel.flip_supported
+        if force_noflip:
+            stft_kernel.flip_supported = lambda plan: False
         try:
             ml, _ = stft_kernel.stft_mag_fused2(
                 jnp.asarray(x), jnp.asarray(x), cfg, interpret=True)
             outs.append(np.asarray(ml))
         finally:
-            stft_kernel._fft_mag_value = orig
+            stft_kernel.flip_supported = orig
     assert not np.array_equal(outs[0], outs[1])  # orientations re-associate
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=1e-7)
 
