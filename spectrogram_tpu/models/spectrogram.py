@@ -101,6 +101,7 @@ class SpectrogramPipeline:
         transposed_carry: bool = False,
         static_palette=None,
         framing: str = "auto",
+        blockwise_palettes: bool = False,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -262,6 +263,12 @@ class SpectrogramPipeline:
                 f"framing='allk' requires the fused chain and hop % n1 == 0 "
                 f"(cfg {cfg}, plan {self.fft_plan})"
             )
+        # blockwise_palettes: per-BLOCK palette uniformity in the colormap
+        # kernels — ts-row blocks whose streams share one palette take the
+        # SMEM-scalar path, mixed blocks fall back to per-row tables (one
+        # SMEM flag test per grid step).  Pays off when tenants cluster in
+        # contiguous stream ranges (the expected multi-tenant layout).
+        self.blockwise_palettes = bool(blockwise_palettes)
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
         if self.stft_lane_pad:
             resample_full_t = self._pad_resample_rows(resample_full_t)
@@ -750,6 +757,7 @@ class SpectrogramPipeline:
                 interpret=self.kernel_interpret,
                 static_table=static,
                 table_period=s,
+                blockwise=self.blockwise_palettes,
             )                                                 # [S*k, H]
         else:
             packed = cmap_kernel.colormap_planes_builtin(
@@ -758,6 +766,7 @@ class SpectrogramPipeline:
                 interpret=self.kernel_interpret,
                 static_table=static,
                 table_period=s,
+                blockwise=self.blockwise_palettes,
             )                                                 # [S*k, H]
         if k > 1:
             packed = packed.reshape(k, s, -1).swapaxes(0, 1)  # [S, k, H]
@@ -866,12 +875,14 @@ class SpectrogramPipeline:
                     self.cfg, self.cmap_segments,
                     interpret=self.kernel_interpret,
                     static_table=static,
+                    blockwise=self.blockwise_palettes,
                 ).reshape(s, k, -1)
             else:
                 packed = cmap_kernel.colormap_planes_builtin(
                     flat[:, 0, :], flat[:, 1, :], tabs, self.resample_t,
                     self.cfg, interpret=self.kernel_interpret,
                     static_table=static,
+                    blockwise=self.blockwise_palettes,
                 ).reshape(s, k, -1)
             if self.packed_output:
                 return packed

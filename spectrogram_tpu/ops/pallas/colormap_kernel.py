@@ -533,6 +533,102 @@ def _uniform_generic_kernel(
         out_ref[:, sl] = q(0) | (q(1) << 8) | (q(2) << 16) | (q(3) << 24)
 
 
+def _blockwise_builtin_kernel(
+    left_ref,    # [TS, B] f32
+    right_ref,   # [TS, B] f32
+    mat_ref,     # [B, H] f32
+    rowtab_ref,  # [TS, R*4] f32 per-row tables (VMEM) — the fallback
+    btab_ref,    # [1, R*4] f32 this block's FIRST row's table (SMEM)
+    flag_ref,    # [1, 1] i32: 1 = every row in this block shares one table
+    out_ref,     # [TS, H] i32 packed RGBA8888
+    *,
+    min_db: float,
+    max_db: float,
+    db_eps: float,
+    res: int,
+    precision,
+    subtile: int,
+):
+    """Per-BLOCK palette uniformity (the round-4 builder lead): most
+    multi-tenant batches cluster palettes in contiguous stream ranges, so
+    most ts-row blocks are single-palette — those take the SMEM-scalar
+    path (zero per-row broadcasts, like _uniform_builtin_kernel); mixed
+    blocks fall back to the per-row tables.  The branch costs one SMEM
+    scalar test per grid step; the resample dots + laws are shared by
+    both arms."""
+    left = left_ref[:]
+    right = right_ref[:]
+    h = mat_ref.shape[1]
+    uniform = flag_ref[0, 0] == 1
+    stereo_u = btab_ref[0, 3]
+    stereo_p = rowtab_ref[:, 3][:, None]
+    sub = res // 4
+    segment_ok = res % 4 == 0 and sub & (sub - 1) == 0
+    for hc in range(h // subtile):
+        sl = slice(hc * subtile, (hc + 1) * subtile)
+        xu, xv = _resample_and_laws(
+            left, right, mat_ref[:, sl], min_db=min_db, max_db=max_db,
+            db_eps=db_eps, res=res, precision=precision,
+        )
+
+        @pl.when(uniform)
+        def _uniform_arm():
+            x_color = stereo_u * xv + (1.0 - stereo_u) * xu
+            rgb = [jnp.zeros(xu.shape, jnp.float32) for _ in range(3)]
+            if segment_ok:
+                seg = jnp.minimum((x_color * (1.0 / sub)).astype(jnp.int32), 3)
+                xl = x_color - seg.astype(jnp.float32) * sub
+                is0 = seg == 0
+                is2 = seg == 2
+                lo_half = seg <= 1
+                for tl in range(sub + 1):
+                    w = jnp.clip(1.0 - jnp.abs(xl - tl), 0.0, 1.0)
+                    for c in range(3):
+                        def ent(s):
+                            return btab_ref[
+                                0, min(s * sub + tl, res - 1) * 4 + c
+                            ]
+
+                        v = jnp.where(
+                            lo_half,
+                            jnp.where(is0, ent(0), ent(1)),
+                            jnp.where(is2, ent(2), ent(3)),
+                        )
+                        rgb[c] = rgb[c] + w * v
+            else:
+                for t in range(res):
+                    w = jnp.clip(1.0 - jnp.abs(x_color - t), 0.0, 1.0)
+                    for c in range(3):
+                        rgb[c] = rgb[c] + w * btab_ref[0, t * 4 + c]
+            alpha = stereo_u * (xu * (1.0 / (res - 1))) + (1.0 - stereo_u)
+
+            def q(x):
+                return jnp.clip(
+                    jnp.round(x * 255.0), 0.0, 255.0
+                ).astype(jnp.int32)
+
+            out_ref[:, sl] = (
+                q(rgb[0]) | (q(rgb[1]) << 8) | (q(rgb[2]) << 16)
+                | (q(alpha) << 24)
+            )
+
+        @pl.when(jnp.logical_not(uniform))
+        def _per_row_arm():
+            x_color = stereo_p * xv + (1.0 - stereo_p) * xu
+            rgb = _tent_lut_channels(x_color, rowtab_ref, (0, 1, 2), res)
+            alpha = stereo_p * (xu * (1.0 / (res - 1))) + (1.0 - stereo_p)
+
+            def q(x):
+                return jnp.clip(
+                    jnp.round(x * 255.0), 0.0, 255.0
+                ).astype(jnp.int32)
+
+            out_ref[:, sl] = (
+                q(rgb[0]) | (q(rgb[1]) << 8) | (q(rgb[2]) << 16)
+                | (q(alpha) << 24)
+            )
+
+
 def _static_builtin_kernel(
     left_ref,    # [TS, B] f32
     right_ref,   # [TS, B] f32
@@ -699,6 +795,39 @@ def colormap_rows_builtin(
     )
 
 
+def _blockwise_operands(t: jax.Array, ts: int):
+    """(block_tables [nb, R*4], flags [nb, 1] i32) for the per-block
+    uniformity kernel: flag = every row of the ts-row block carries the
+    same table (compared on table BYTES, so registry identity is
+    irrelevant); block_tables = each block's first row.  One cheap
+    elementwise pass per push over [rows, R*4]."""
+    nb = t.shape[0] // ts
+    t3 = t.reshape(nb, ts, t.shape[1])
+    flags = jnp.all(t3 == t3[:, :1], axis=(1, 2)).astype(jnp.int32)[:, None]
+    return t3[:, 0], flags
+
+
+def _maybe_blockwise(kernel, tables, res, uniform, static_table,
+                     color_tables, blockwise, ts, *, kw, subtile):
+    """Swap the per-row builtin kernel for the per-block-uniformity kernel
+    when requested and applicable (single-array builtin tables only).
+    Returns (kernel, tables, blockwise_active)."""
+    applicable = (
+        blockwise
+        and not uniform
+        and static_table is None
+        and len(tables) == 1
+        and not isinstance(color_tables, (tuple, list))
+    )
+    if not applicable:
+        return kernel, tables, False
+    btab, flags = _blockwise_operands(tables[0], ts)
+    kernel = functools.partial(
+        _blockwise_builtin_kernel, res=res, subtile=subtile, **kw
+    )
+    return kernel, [tables[0], btab, flags], True
+
+
 def _normalize_period_tables(tables, n: int, ts: int, table_period):
     """Resolve the table-period layout for a kernel call.
 
@@ -727,7 +856,7 @@ def _normalize_period_tables(tables, n: int, ts: int, table_period):
     jax.jit,
     static_argnames=(
         "cfg", "block_rows", "block_cols", "precision", "interpret",
-        "static_table", "table_period",
+        "static_table", "table_period", "blockwise",
     ),
 )
 def colormap_planes_builtin(
@@ -744,6 +873,7 @@ def colormap_planes_builtin(
     interpret: bool = False,
     static_table: tuple | None = None,
     table_period: int | None = None,
+    blockwise: bool = False,
 ) -> jax.Array:
     """As colormap_rows_builtin but taking separate channel planes.
 
@@ -802,6 +932,10 @@ def colormap_planes_builtin(
         else (tables if len(tables) > 1 else tables[0]),
         kw=kw, subtile=_subtile_for(th),
     )
+    kernel, tables, bw = _maybe_blockwise(
+        kernel, tables, res, uniform, static_table, color_tables,
+        blockwise, ts, kw=kw, subtile=_subtile_for(th),
+    )
     tmap = (
         (lambda i, j: (i, 0))
         if tb_blocks is None
@@ -812,6 +946,12 @@ def colormap_planes_builtin(
             pl.BlockSpec((1, res * 4), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM)
             for _ in tables
+        ]
+    elif bw:
+        table_specs = [
+            pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, res * 4), tmap, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), tmap, memory_space=pltpu.SMEM),
         ]
     else:
         table_specs = [
@@ -895,7 +1035,7 @@ def _banded_worthwhile(segments, b: int, h: int, threshold: float = 0.75) -> boo
     jax.jit,
     static_argnames=(
         "cfg", "segments", "block_rows", "block_cols", "precision",
-        "interpret", "static_table", "table_period",
+        "interpret", "static_table", "table_period", "blockwise",
     ),
 )
 def colormap_planes_banded(
@@ -911,6 +1051,7 @@ def colormap_planes_banded(
     interpret: bool = False,
     static_table: tuple | None = None,
     table_period: int | None = None,
+    blockwise: bool = False,
 ) -> jax.Array:
     """Banded colormap: one kernel launch per `band_segments` segment, each
     contracting only the bin band its pixel columns actually read.
@@ -979,6 +1120,17 @@ def colormap_planes_banded(
             ),
             subtile=_subtile_for(th),
         )
+        kernel, seg_tables, bw = _maybe_blockwise(
+            kernel, seg_tables, res, uniform, static_table, color_tables,
+            blockwise, ts,
+            kw=dict(
+                min_db=cfg.min_db,
+                max_db=cfg.max_db,
+                db_eps=cfg.db_epsilon,
+                precision=precision,
+            ),
+            subtile=_subtile_for(th),
+        )
         # Element-offset DMA straight out of the full planes (zero slice
         # copies) needs Mosaic-provable tiling: block dims divisible by
         # (8, 128) or equal to the array dims.  Segments that fail that
@@ -1009,6 +1161,12 @@ def colormap_planes_banded(
                 pl.BlockSpec((1, res * 4), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM)
                 for _ in seg_tables
+            ]
+        elif bw:
+            table_specs = [
+                pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, res * 4), tmap, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), tmap, memory_space=pltpu.SMEM),
             ]
         else:
             table_specs = [

@@ -502,3 +502,30 @@ def test_uniform_palette_mode_matches_per_stream(rng):
     assert s_mix.tables[0].shape[0] == 3
     s_back = p.set_palette(s_mix, 1)
     assert s_back.tables[0].shape[0] == 1
+
+
+def test_blockwise_palettes_match_per_row(rng):
+    """Per-block palette uniformity (blockwise_palettes=True): bitwise
+    equal to the per-row path for uniform blocks, mixed blocks, and
+    per-row-varied blocks alike."""
+    import jax
+
+    kw = dict(chunk_hops=4, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True)
+    p_bw = SpectrogramPipeline(CFG, blockwise_palettes=True, **kw)
+    p_pr = SpectrogramPipeline(CFG, **kw)
+    # 6 streams: first 3 share a palette (uniform-ish blocks at small ts),
+    # last 3 all different (mixed)
+    s_bw = p_bw.set_palette(p_bw.init_state(6), jnp.asarray([2, 2, 2, 0, 1, 5]))
+    s_pr = p_pr.set_palette(p_pr.init_state(6), jnp.asarray([2, 2, 2, 0, 1, 5]))
+    for _ in range(2):
+        chunk = jnp.asarray(
+            rng.standard_normal((6, p_bw.chunk_size, 2)).astype(np.float32) * 0.2
+        )
+        s_bw, out_bw = p_bw.push(s_bw, chunk)
+        s_pr, out_pr = p_pr.push(s_pr, chunk)
+        np.testing.assert_array_equal(np.asarray(out_bw), np.asarray(out_pr))
+    np.testing.assert_array_equal(
+        np.asarray(p_bw.render_viewport(s_bw)),
+        np.asarray(p_pr.render_viewport(s_pr)),
+    )
