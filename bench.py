@@ -72,6 +72,9 @@ def main() -> None:
         ) if (sp := os.environ.get("BENCH_STATIC_PALETTE", "")) else None,
         # BENCH_FRAMING=allk|planes|auto (round-4 all-windows kernel knob)
         framing=os.environ.get("BENCH_FRAMING", "auto"),
+        # BENCH_BLOCKWISE=1: per-block palette-uniformity colormap kernel
+        # (off by default so the headline measures true per-row tables)
+        blockwise_palettes=os.environ.get("BENCH_BLOCKWISE", "0") == "1",
     )
 
     rng = np.random.default_rng(0)

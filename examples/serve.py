@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--streams", type=int, default=512)
     ap.add_argument("--seconds", type=float, default=5.0)
     ap.add_argument(
+        "--uniform-palette", type=str, default=None, dest="uniform_palette",
+        help="serve every stream with ONE palette (name or index): the "
+        "colormap LUT rides SMEM scalars (~25%% faster colormap at 10k "
+        "streams, round 4) and stays runtime-switchable via set_palette",
+    )
+    ap.add_argument(
         "--probe-readback", action="store_true",
         help="force completion without shipping full row blocks to host "
         "(for relay-tunneled dev TPUs whose D2H is ~1000x slower than a "
@@ -87,8 +93,15 @@ def main() -> None:
     # Copy-free drain: the bank pops straight into a rotating depth+1
     # buffer pool instead of one pinned buffer + a defensive per-push copy
     # (65 MB/push at 10k streams; ChunkPool safety contract in io/feeder.py).
+    state0 = pipeline.init_state(s)
+    if args.uniform_palette is not None:
+        from spectrogram_tpu.color.colorscheme import scheme_index
+
+        up = args.uniform_palette
+        pid = int(up) if up.lstrip("-").isdigit() else scheme_index(up)
+        state0 = pipeline.set_palette(state0, pid)  # scalar -> uniform mode
     feeder = DeviceFeeder(
-        pipeline, pipeline.init_state(s), depth=2, planar=True,
+        pipeline, state0, depth=2, planar=True,
         readback="probe" if args.probe_readback else "full",
         copy_chunks=False,
     )

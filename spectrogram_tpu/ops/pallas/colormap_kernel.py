@@ -534,12 +534,12 @@ def _uniform_generic_kernel(
 
 
 def _blockwise_builtin_kernel(
+    flag_ref,    # [nb] i32 scalar-prefetch: 1 = block is single-palette
+    btab_ref,    # [nb, R*4] f32 scalar-prefetch: block's first-row table
     left_ref,    # [TS, B] f32
     right_ref,   # [TS, B] f32
     mat_ref,     # [B, H] f32
     rowtab_ref,  # [TS, R*4] f32 per-row tables (VMEM) — the fallback
-    btab_ref,    # [1, R*4] f32 this block's FIRST row's table (SMEM)
-    flag_ref,    # [1, 1] i32: 1 = every row in this block shares one table
     out_ref,     # [TS, H] i32 packed RGBA8888
     *,
     min_db: float,
@@ -548,19 +548,24 @@ def _blockwise_builtin_kernel(
     res: int,
     precision,
     subtile: int,
+    nb_period: int,
 ):
     """Per-BLOCK palette uniformity (the round-4 builder lead): most
     multi-tenant batches cluster palettes in contiguous stream ranges, so
     most ts-row blocks are single-palette — those take the SMEM-scalar
     path (zero per-row broadcasts, like _uniform_builtin_kernel); mixed
-    blocks fall back to the per-row tables.  The branch costs one SMEM
-    scalar test per grid step; the resample dots + laws are shared by
-    both arms."""
+    blocks fall back to the per-row tables.  Flags + block tables arrive
+    via SCALAR PREFETCH (whole arrays SMEM-resident, indexed by the row
+    program id) — grid-blocked (1, x) SMEM operands fail Mosaic's
+    block-tiling rule, found on hardware by the smoke gate.  The branch
+    costs one scalar test per grid step; the resample dots + laws are
+    shared by both arms."""
+    bi = pl.program_id(0) % nb_period
     left = left_ref[:]
     right = right_ref[:]
     h = mat_ref.shape[1]
-    uniform = flag_ref[0, 0] == 1
-    stereo_u = btab_ref[0, 3]
+    uniform = flag_ref[bi] == 1
+    stereo_u = btab_ref[bi, 3]
     stereo_p = rowtab_ref[:, 3][:, None]
     sub = res // 4
     segment_ok = res % 4 == 0 and sub & (sub - 1) == 0
@@ -586,7 +591,7 @@ def _blockwise_builtin_kernel(
                     for c in range(3):
                         def ent(s):
                             return btab_ref[
-                                0, min(s * sub + tl, res - 1) * 4 + c
+                                bi, min(s * sub + tl, res - 1) * 4 + c
                             ]
 
                         v = jnp.where(
@@ -599,7 +604,7 @@ def _blockwise_builtin_kernel(
                 for t in range(res):
                     w = jnp.clip(1.0 - jnp.abs(x_color - t), 0.0, 1.0)
                     for c in range(3):
-                        rgb[c] = rgb[c] + w * btab_ref[0, t * 4 + c]
+                        rgb[c] = rgb[c] + w * btab_ref[bi, t * 4 + c]
             alpha = stereo_u * (xu * (1.0 / (res - 1))) + (1.0 - stereo_u)
 
             def q(x):
@@ -796,14 +801,14 @@ def colormap_rows_builtin(
 
 
 def _blockwise_operands(t: jax.Array, ts: int):
-    """(block_tables [nb, R*4], flags [nb, 1] i32) for the per-block
+    """(block_tables [nb, R*4], flags [nb] i32) for the per-block
     uniformity kernel: flag = every row of the ts-row block carries the
     same table (compared on table BYTES, so registry identity is
     irrelevant); block_tables = each block's first row.  One cheap
     elementwise pass per push over [rows, R*4]."""
     nb = t.shape[0] // ts
     t3 = t.reshape(nb, ts, t.shape[1])
-    flags = jnp.all(t3 == t3[:, :1], axis=(1, 2)).astype(jnp.int32)[:, None]
+    flags = jnp.all(t3 == t3[:, :1], axis=(1, 2)).astype(jnp.int32)
     return t3[:, 0], flags
 
 
@@ -823,7 +828,8 @@ def _maybe_blockwise(kernel, tables, res, uniform, static_table,
         return kernel, tables, False
     btab, flags = _blockwise_operands(tables[0], ts)
     kernel = functools.partial(
-        _blockwise_builtin_kernel, res=res, subtile=subtile, **kw
+        _blockwise_builtin_kernel, res=res, subtile=subtile,
+        nb_period=tables[0].shape[0] // ts, **kw
     )
     return kernel, [tables[0], btab, flags], True
 
@@ -948,11 +954,36 @@ def colormap_planes_builtin(
             for _ in tables
         ]
     elif bw:
-        table_specs = [
-            pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, res * 4), tmap, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), tmap, memory_space=pltpu.SMEM),
-        ]
+        # scalar-prefetch call: flags + block tables ride SMEM whole-array
+        # (grid-blocked (1, x) SMEM operands fail Mosaic's tiling rule)
+        rowtab, btab, flags = tables
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_pad // ts, h_pad // th),
+            in_specs=[
+                pl.BlockSpec((ts, b), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ts, b), lambda i, j, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, th), lambda i, j, *_: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (ts, res * 4),
+                    (lambda i, j, *_: (i, 0)) if tb_blocks is None
+                    else (lambda i, j, *_: (i % tb_blocks, 0)),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec((ts, th), lambda i, j, *_: (i, j),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, h_pad), jnp.int32),
+            interpret=interpret,
+        )(flags, btab, left, right, matrix_t, rowtab)
+        return out[:n, :h]
     else:
         table_specs = [
             pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM)
@@ -1156,17 +1187,51 @@ def colormap_planes_banded(
                 (ts, band), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             )
             plane_l, plane_r = left[:, lo:hi], right[:, lo:hi]
+        if bw:
+            # scalar-prefetch call (see colormap_planes_builtin's bw branch)
+            rowtab, btab, flags = seg_tables
+            if elem_ok:
+                bw_plane_spec = pl.BlockSpec(
+                    (pl.Element(ts), pl.Element(band)),
+                    lambda i, j, *_, lo=lo: (i * ts, lo),
+                    memory_space=pltpu.VMEM,
+                )
+            else:
+                bw_plane_spec = pl.BlockSpec(
+                    (ts, band), lambda i, j, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_pad // ts, h_pad // th),
+                in_specs=[
+                    bw_plane_spec,
+                    bw_plane_spec,
+                    pl.BlockSpec((band, th), lambda i, j, *_: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (ts, res * 4),
+                        (lambda i, j, *_: (i, 0)) if tb_blocks is None
+                        else (lambda i, j, *_: (i % tb_blocks, 0)),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec((ts, th), lambda i, j, *_: (i, j),
+                                       memory_space=pltpu.VMEM),
+            )
+            out = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((n_pad, h_pad), jnp.int32),
+                interpret=interpret,
+            )(flags, btab, plane_l, plane_r, mat_seg, rowtab)
+            outs.append(out[:, :h_seg])
+            continue
         if uniform:
             table_specs = [
                 pl.BlockSpec((1, res * 4), lambda i, j: (0, 0),
                              memory_space=pltpu.SMEM)
                 for _ in seg_tables
-            ]
-        elif bw:
-            table_specs = [
-                pl.BlockSpec((ts, res * 4), tmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, res * 4), tmap, memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1), tmap, memory_space=pltpu.SMEM),
             ]
         else:
             table_specs = [
