@@ -268,7 +268,7 @@ def lane_pad_default(plan: FftPlan) -> bool:
     jax.jit,
     static_argnames=(
         "cfg", "block_rows", "precision", "interpret", "slice_bins", "plan",
-        "lane_pad", "padded_layout",
+        "lane_pad", "padded_layout", "out_2d",
     ),
 )
 def stft_mag_fused2(
@@ -282,6 +282,7 @@ def stft_mag_fused2(
     plan: FftPlan | None = None,
     lane_pad: bool | None = None,
     padded_layout: bool = False,
+    out_2d: bool | None = None,
 ):
     """Fused four-step STFT: (magL, magR) each [N, num_bins], or the full
     [N, N/2] half-spectrum (bin index k = padded-FFT bin k, DC included)
@@ -350,7 +351,9 @@ def stft_mag_fused2(
     # reads, deleting the XLA relayout copies between the two kernels
     # (0.37 ms/push at 10,240 streams) AND the in-kernel output
     # transpose (see _fft_channel_2d).
-    out_2d = lane_pad or flip_supported(plan)
+    if out_2d is None:
+        out_2d = lane_pad or flip_supported(plan)
+    out_2d = out_2d and (lane_pad or flip_supported(plan))
     kernel = functools.partial(
         _kernel2_2d if out_2d else _kernel2,
         plan=plan, precision=precision, transposed=True, lane_pad=lane_pad,
