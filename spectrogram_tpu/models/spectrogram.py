@@ -247,7 +247,7 @@ class SpectrogramPipeline:
         # k=8 than allk's single per-channel buffer operand — the 4D
         # combined-channel operand layout costs more than the concat it
         # deletes.  MEASURED NEGATIVE, kept in the experiment file.
-        if framing not in ("auto", "allk", "planes"):
+        if framing not in ("auto", "allk", "planes", "tsplit"):
             raise ValueError(f"unknown framing {framing!r}")
         self.framing = framing
         allk_ok = (
@@ -261,6 +261,30 @@ class SpectrogramPipeline:
         if framing == "allk" and not allk_ok:
             raise ValueError(
                 f"framing='allk' requires the fused chain and hop % n1 == 0 "
+                f"(cfg {cfg}, plan {self.fft_plan})"
+            )
+        # "tsplit" (round 4 late, MEASURED NEGATIVE, opt-in as evidence): k=1
+        # split-state framing — the kernel consumes the transposed carry
+        # STATE + hop chunk directly (two accumulating stage-1 dots at the
+        # carry/chunk boundary) and emits the next carry in-kernel.  The
+        # per-push concat + full-buffer operand transposes never exist,
+        # but the boundary-split dots (39/25-lane operands padded to 128)
+        # cost more MXU work than that glue: 5.33 vs 4.87 ms/push at
+        # 10,240 streams (see stft_mag_fused2_tsplit's ledger docstring).
+        tsplit_ok = (
+            self.fused_chain
+            and not self.carry_transposed
+            and self.chunk_hops == 1
+            and _sk.tsplit_supported(
+                cfg, self.chunk_hops, self.fft_plan,
+                lane_pad=self.stft_lane_pad,
+            )
+        )
+        self.tsplit_framing = tsplit_ok and framing == "tsplit"
+        if framing == "tsplit" and not tsplit_ok:
+            raise ValueError(
+                f"framing='tsplit' requires the fused chain, chunk_hops=1, "
+                f"hop % n1 == 0 and a flip-capable stage 2 "
                 f"(cfg {cfg}, plan {self.fft_plan})"
             )
         # blockwise_palettes: per-BLOCK palette uniformity in the colormap
@@ -380,6 +404,14 @@ class SpectrogramPipeline:
             else jax.lax.Precision.DEFAULT
         )
 
+    @property
+    def carry_is_transposed(self) -> bool:
+        """True when the state's carry uses the transposed [S, 2, n1, C/n1]
+        layout (either the opt-in transposed_carry format or the tsplit
+        framing path) — checkpoint migration and mesh sharding key off
+        this, not the individual knobs."""
+        return self.carry_transposed or self.tsplit_framing
+
     def override_plan(self, plan, block_rows: int | None = None) -> None:
         """Autotuner hook: swap the FFT factorization and recompute EVERY
         plan-derived structure — lane_pad routing, the (possibly padded)
@@ -408,6 +440,9 @@ class SpectrogramPipeline:
         self.allk_framing = allk_ok and (
             self.framing == "allk"
             or (self.framing == "auto" and self.chunk_hops > 1)
+        )
+        self.tsplit_framing = self.tsplit_framing and _sk.tsplit_supported(
+            self.cfg, self.chunk_hops, plan, lane_pad=self.stft_lane_pad
         )
         resample_full_t = cmap_ops.resample_matrix_full(self.cfg).T
         if self.stft_lane_pad:
@@ -452,7 +487,7 @@ class SpectrogramPipeline:
         if self.static_palette_id is not None:
             palette_id = self.static_palette_id  # pinned by construction
         ring_rows = self.viewport_rows if self.store_ring else 0
-        if self.carry_transposed:
+        if self.carry_transposed or self.tsplit_framing:
             n1 = self.fft_plan.n1
             carry = jnp.zeros(
                 (n_streams, 2, n1, self.carry_size // n1), jnp.float32
@@ -576,6 +611,8 @@ class SpectrogramPipeline:
         k = self.chunk_hops
         if self.sanitize_input:
             chunk_pl = jnp.where(jnp.isfinite(chunk_pl), chunk_pl, 0.0)
+        if self.tsplit_framing:
+            return self._push_fused_tsplit(state, chunk_pl)
         if self.carry_transposed:
             return self._push_fused_t(state, chunk_pl)
         if self.fused_chain:
@@ -700,6 +737,33 @@ class SpectrogramPipeline:
                 lane_pad=self.stft_lane_pad,
                 padded_layout=self.stft_lane_pad,
             )  # [S*k, N/2] incl DC (padded bin layout when stft_lane_pad)
+        return self._fused_tail(state, mag_l, mag_r, new_carry, s)
+
+    def _push_fused_tsplit(self, state: StreamState, chunk_pl: jax.Array):
+        """Split-state k=1 framing (round 4 late, MEASURED NEGATIVE — see
+        stft_mag_fused2_tsplit; kept opt-in as evidence): the fused STFT
+        kernel consumes the transposed carry STATE and the hop chunk as
+        separate operands (stage 1 = two accumulating dots meeting at the
+        carry/chunk boundary) and writes the next carry in-kernel — the
+        per-push carry+chunk concat and the full-buffer operand transposes
+        never exist, but the split stage-1 dots cost more MXU work than
+        that glue (5.33 vs 4.87 ms/push at 10,240 streams on v5e)."""
+        from spectrogram_tpu.ops.pallas import stft_kernel
+
+        plan = self.fft_plan
+        n1 = plan.n1
+        s = chunk_pl.shape[0]
+        t_cols = self.chunk_size // n1
+        chunk_t = jnp.swapaxes(
+            chunk_pl.reshape(s, 2, t_cols, n1), 2, 3
+        )                                                # [S, 2, n1, T/n1]
+        mag_l, mag_r, new_carry = stft_kernel.stft_mag_fused2_tsplit(
+            state.carry, chunk_t, self.cfg,
+            block_rows=self.stft_block_rows,
+            precision=self.precision_stft,
+            interpret=self.kernel_interpret,
+            plan=plan, lane_pad=self.stft_lane_pad,
+        )
         return self._fused_tail(state, mag_l, mag_r, new_carry, s)
 
     def _push_fused_t(self, state: StreamState, chunk_pl: jax.Array):

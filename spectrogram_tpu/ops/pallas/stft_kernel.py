@@ -1054,3 +1054,205 @@ def stft_mag_fused2_buf(
         mag_l = mag_l.reshape(k * n, half)
         mag_r = mag_r.reshape(k * n, half)
     return mag_l, mag_r
+
+
+def tsplit_supported(cfg: SpectrogramConfig, k: int = 1,
+                     plan: FftPlan | None = None,
+                     lane_pad: bool = False) -> bool:
+    """True when the split-state transposed framing kernel applies (k=1
+    streaming): hop a multiple of the plan's n1 (the carry/chunk boundary
+    falls between whole m-columns of the transposed window, so stage 1
+    splits into two accumulating dots), a nonzero carry, and a flip-capable
+    stage 2 (direct or lane-padded) for the flat 2D output stores."""
+    plan = plan or make_plan(cfg)
+    return (
+        plan is not None
+        and k == 1
+        and plan.n1 % 2 == 0
+        and cfg.pad_factor >= 2
+        and cfg.hop_size % plan.n1 == 0
+        and cfg.hop_size < cfg.window_size
+        and (lane_pad or flip_supported(plan))
+    )
+
+
+def _tsplit_kernel(c_ref, k_ref, hann_ref, f2cat_ref, twcat_ref, f1blk_ref,
+                   out_l_ref, out_r_ref, nc_ref,
+                   *, plan, precision, lane_pad, c_cols, t_cols):
+    """Split-state body: combined-channel transposed carry [ts, 2, n1,
+    c_cols] + chunk [ts, 2, n1, t_cols] operands; the carry/chunk concat
+    NEVER exists — stage 1 runs as TWO ACCUMULATING DOTS whose contraction
+    ranges meet exactly at the carry/chunk column boundary (the m axis is
+    buffer columns in the tw orientation, so splitting the contraction
+    re-associates only the partial-sum order: <= 1 ulp).  The next-push
+    carry is emitted in-kernel via static lane-dim value stores (no Mosaic
+    alignment gate — probed on hardware, exp_stft_tsplit), deleting the
+    XLA-side carry concat as well.  Channel split happens on the loaded
+    VMEM value (the _kernel2_t trick): no XLA channel-slice copies."""
+    n1 = plan.n1
+    n2o = padded_n2(plan) if lane_pad else plan.n2
+    k1h = n1 // 2
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+    twr_t = twcat_ref[:, :n2o]
+    twi_t = twcat_ref[:, n2o:]
+    hann = hann_ref[:]                          # [n1, m] (transposed)
+    f2 = f2cat_ref[:]                           # [m, 2*n2o]
+    cboth = c_ref[:]                            # [ts, 2, n1, c_cols]
+    kboth = k_ref[:]                            # [ts, 2, n1, t_cols]
+    if t_cols >= c_cols:
+        nc_ref[:] = kboth[:, :, :, t_cols - c_cols:]
+    else:
+        keep = c_cols - t_cols
+        nc_ref[:, :, :, :keep] = cboth[:, :, :, t_cols:]
+        nc_ref[:, :, :, keep:] = kboth
+    for ch, out_ref in ((0, out_l_ref), (1, out_r_ref)):
+        cv = cboth[:, ch]                       # [ts, n1, c_cols]
+        kv = kboth[:, ch]                       # [ts, n1, t_cols]
+        xc = cv * hann[:, :c_cols]
+        xk = kv * hann[:, c_cols:]
+        b = (
+            jax.lax.dot_general(xc, f2[:c_cols], (((2,), (0,)), ((), ())), **kw)
+            + jax.lax.dot_general(xk, f2[c_cols:], (((2,), (0,)), ((), ())), **kw)
+        )                                       # [ts, n1, 2*n2o]
+        br, bi = b[..., :n2o], b[..., n2o:]
+        cr = br * twr_t - bi * twi_t
+        ci = br * twi_t + bi * twr_t
+        c_cat = jnp.concatenate([cr, ci], axis=1)
+        d = jax.lax.dot_general(
+            f1blk_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
+        )                                       # [2*k1h, ts, n2o]
+        dr, di = d[:k1h], d[k1h:]
+        for k1 in range(k1h):
+            p = dr[k1] * dr[k1] + di[k1] * di[k1]
+            out_ref[:, k1 * n2o : (k1 + 1) * n2o] = jnp.sqrt(p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "block_rows", "precision", "interpret", "plan", "lane_pad",
+    ),
+)
+def stft_mag_fused2_tsplit(
+    carry_t: jax.Array,  # [N, 2, n1, c_cols] f32 transposed carry state
+    chunk_t: jax.Array,  # [N, 2, n1, t_cols] f32 transposed hop chunk
+    cfg: SpectrogramConfig,
+    block_rows: int | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    plan: FftPlan | None = None,
+    lane_pad: bool = False,
+):
+    """Fused k=1 STFT consuming the CARRY STATE and HOP CHUNK directly —
+    the framing formulation where the per-push carry+chunk concat and the
+    full-buffer [m, n1] -> [n1, m] operand transposes never exist; the
+    only per-push data movement outside the kernel is the caller's small
+    chunk transpose.
+
+    MEASURED NEGATIVE on v5e (exp_stft_tsplit, round 4 late), kept opt-in as
+    evidence: at 10,240 streams this combined-channel form runs 5.33
+    ms/push vs the production concat+transpose path's 4.87 (the
+    per-channel-operand form 6.72 — strided channel slices cost another
+    1.4 ms); at 4,096 it is 2.78 vs 1.92.  Mechanism: splitting stage 1
+    at the carry/chunk boundary turns ONE 64-lane-deep dot into TWO dots
+    over 39- and 25-lane operands, each padded to a full 128-lane tile —
+    roughly doubling stage-1 MXU work, which costs more than the ~2 ms of
+    XLA concat+transpose glue it deletes.  Completes the k=1 framing
+    negative set: lane-axis concat (round 3), untransposed split operands
+    (round 4), in-kernel VMEM concat (round 2), and now boundary-split
+    accumulating dots.
+
+    carry_t[s, c, j1, t] = buffer sample t*n1 + j1 of channel c (the
+    transposed window layout restricted to the carry columns); chunk_t
+    likewise over hop columns.  Returns (magL, magR, new_carry_t) with
+    mags [N, (n1/2)*n2o] in the flat-2D layout the colormap kernels read
+    (padded bin positions when lane_pad) and new_carry_t in the same
+    format as carry_t — store it back as the next push's state.
+
+    Numerics: <= 1 ulp vs `stft_mag_fused2` on the same plan (stage-1
+    partial sums re-associate at the carry/chunk boundary); the emitted
+    carry is bitwise (pure data movement).  Reference spec: one texture
+    write per row batch, gpu_spectrogram.rs:260-273 — this is its device
+    analog: one kernel pass per push, state updated in place.
+    """
+    plan = plan or make_plan(cfg)
+    if not tsplit_supported(cfg, 1, plan, lane_pad=lane_pad):
+        raise ValueError(
+            f"tsplit framing unsupported for {cfg} (plan={plan}, "
+            f"lane_pad={lane_pad})"
+        )
+    n1, n2, m = plan.n1, plan.n2, plan.m
+    w, h = cfg.window_size, cfg.hop_size
+    c_cols = (w - h) // n1
+    t_cols = h // n1
+    n = carry_t.shape[0]
+    if carry_t.shape[1:] != (2, n1, c_cols):
+        raise ValueError(
+            f"expected carry [N, 2, {n1}, {c_cols}], got {carry_t.shape}"
+        )
+    if chunk_t.shape != (n, 2, n1, t_cols):
+        raise ValueError(
+            f"expected chunk [{n}, 2, {n1}, {t_cols}], got {chunk_t.shape}"
+        )
+    if block_rows is None:
+        block_rows = default_block_rows(plan)
+    ts = min(block_rows, n) if n % block_rows else block_rows
+    if n % ts:
+        pad = ts - n % ts
+        carry_t = jnp.pad(carry_t, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        chunk_t = jnp.pad(chunk_t, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    n_pad = carry_t.shape[0]
+    n2o = padded_n2(plan) if lane_pad else n2
+    half_o = (n1 // 2) * n2o
+    hann2 = np.ascontiguousarray(_scaled_hann(w, m, n1).T)   # [n1, m]
+    if lane_pad:
+        f2cat, twcat, f1blk = _padded_stage1_constants(plan)
+    else:
+        from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
+
+        f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+        twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _tsplit_kernel, plan=plan, precision=precision, lane_pad=lane_pad,
+        c_cols=c_cols, t_cols=t_cols,
+    )
+    mag_spec = pl.BlockSpec((ts, half_o), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    mag_l, mag_r, new_carry = pl.pallas_call(
+        kernel,
+        grid=(n_pad // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, 2, n1, c_cols), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 2, n1, t_cols), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const_spec(hann2),
+            const_spec(f2cat),
+            const_spec(twcat),
+            const_spec(f1blk),
+        ],
+        out_specs=[
+            mag_spec,
+            mag_spec,
+            pl.BlockSpec((ts, 2, n1, c_cols), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, half_o), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, half_o), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 2, n1, c_cols), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * 2 * (plan.complex_macs * 2),
+            bytes_accessed=2 * n_pad * (w + h + half_o) * 4,
+            transcendentals=2 * n_pad * half_o,
+        ),
+        interpret=interpret,
+    )(carry_t, chunk_t, jnp.asarray(hann2), jnp.asarray(f2cat),
+      jnp.asarray(twcat), jnp.asarray(f1blk))
+    return mag_l[:n], mag_r[:n], new_carry[:n]

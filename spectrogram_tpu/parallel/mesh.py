@@ -65,7 +65,8 @@ def state_shardings(
 
 
 def _carry_ndim(pipeline: SpectrogramPipeline) -> int:
-    return 4 if getattr(pipeline, "carry_transposed", False) else 3
+    return 4 if getattr(pipeline, "carry_is_transposed",
+                    getattr(pipeline, "carry_transposed", False)) else 3
 
 
 def _n_tables(pipeline: SpectrogramPipeline) -> int:

@@ -99,7 +99,8 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
     # pipeline used (planar [S, 2, C] or transposed [S, 2, n1, C/n1]); the
     # two are a deterministic reshape+transpose apart, so a restore into a
     # pipeline of the other format converts instead of failing.
-    want_t = getattr(pipeline, "carry_transposed", False)
+    want_t = getattr(pipeline, "carry_is_transposed",
+                 getattr(pipeline, "carry_transposed", False))
     if carry.ndim == 3 and want_t:
         n1 = pipeline.fft_plan.n1
         s_, _, c_ = carry.shape

@@ -229,3 +229,105 @@ def test_split_operand_kernel_matches(rng):
     np.testing.assert_allclose(np.asarray(mr), np.asarray(rr),
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(nc), buf[:, :, -c:])
+
+
+def test_tsplit_kernel_matches(rng):
+    """Round-4-late split-state framing (stft_mag_fused2_tsplit): carry+chunk
+    consumed directly, stage 1 as two accumulating dots — must be within
+    1-ulp-scale tolerance of the plane path (partial-sum re-association at
+    the carry/chunk boundary) and the emitted carry bitwise."""
+    cfg = SpectrogramConfig(sample_rate=48000.0, window_period=2048 / 48000.0,
+                            hop_period=800 / 48000.0)
+    plan = stft_kernel.make_plan(cfg)
+    assert stft_kernel.tsplit_supported(cfg, 1, plan)
+    n1 = plan.n1
+    w, h = cfg.window_size, cfg.hop_size
+    c = w - h
+    n = 4
+    carry = rng.standard_normal((n, 2, c)).astype(np.float32) * 0.3
+    chunk = rng.standard_normal((n, 2, h)).astype(np.float32) * 0.3
+    carry_t = jnp.swapaxes(
+        jnp.asarray(carry).reshape(n, 2, c // n1, n1), 2, 3)
+    chunk_t = jnp.swapaxes(
+        jnp.asarray(chunk).reshape(n, 2, h // n1, n1), 2, 3)
+    ml, mr, nc = stft_kernel.stft_mag_fused2_tsplit(
+        carry_t, chunk_t, cfg, block_rows=4, interpret=True, plan=plan)
+    buf = np.concatenate([carry, chunk], axis=2)
+    rl, rr = stft_kernel.stft_mag_fused2(
+        jnp.asarray(buf[:, 0]), jnp.asarray(buf[:, 1]), cfg, block_rows=4,
+        interpret=True, slice_bins=False, plan=plan)
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(rl),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(rr),
+                               rtol=1e-4, atol=1e-6)
+    nc_pl = np.asarray(jnp.swapaxes(nc, 2, 3)).reshape(n, 2, c)
+    np.testing.assert_array_equal(nc_pl, buf[:, :, -c:])
+
+
+def test_tsplit_kernel_big_hop_carry(rng):
+    """hop >= carry: the next carry comes entirely from the chunk tail."""
+    cfg = SpectrogramConfig(sample_rate=48000.0, window_period=2048 / 48000.0,
+                            hop_period=1536 / 48000.0)
+    plan = stft_kernel.make_plan(cfg)
+    assert stft_kernel.tsplit_supported(cfg, 1, plan)
+    n1 = plan.n1
+    w, h = cfg.window_size, cfg.hop_size
+    c = w - h
+    assert h >= c
+    n = 3
+    carry = rng.standard_normal((n, 2, c)).astype(np.float32) * 0.3
+    chunk = rng.standard_normal((n, 2, h)).astype(np.float32) * 0.3
+    carry_t = jnp.swapaxes(
+        jnp.asarray(carry).reshape(n, 2, c // n1, n1), 2, 3)
+    chunk_t = jnp.swapaxes(
+        jnp.asarray(chunk).reshape(n, 2, h // n1, n1), 2, 3)
+    ml, _, nc = stft_kernel.stft_mag_fused2_tsplit(
+        carry_t, chunk_t, cfg, block_rows=4, interpret=True, plan=plan)
+    buf = np.concatenate([carry, chunk], axis=2)
+    rl, _ = stft_kernel.stft_mag_fused2(
+        jnp.asarray(buf[:, 0]), jnp.asarray(buf[:, 1]), cfg, block_rows=4,
+        interpret=True, slice_bins=False, plan=plan)
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(rl),
+                               rtol=1e-4, atol=1e-6)
+    nc_pl = np.asarray(jnp.swapaxes(nc, 2, 3)).reshape(n, 2, c)
+    np.testing.assert_array_equal(nc_pl, buf[:, :, -c:])
+
+
+def test_tsplit_lane_pad_matches(rng):
+    """tsplit with the padded-lane flip (reference-native plan family,
+    n2 % 128 != 0): padded-layout magnitudes must match the lane_pad plane
+    path; the gate refuses unaligned hops instead of miscompiling."""
+    cfg = SpectrogramConfig(sample_rate=48000.0, window_period=0.05,
+                            hop_period=96 / 48000.0)
+    plan = stft_kernel.make_plan(cfg)
+    assert not stft_kernel.flip_supported(plan)
+    assert stft_kernel.tsplit_supported(cfg, 1, plan, lane_pad=True)
+    assert not stft_kernel.tsplit_supported(cfg, 1, plan, lane_pad=False)
+    n1 = plan.n1
+    w, h = cfg.window_size, cfg.hop_size
+    c = w - h
+    n = 3
+    carry = rng.standard_normal((n, 2, c)).astype(np.float32) * 0.3
+    chunk = rng.standard_normal((n, 2, h)).astype(np.float32) * 0.3
+    carry_t = jnp.swapaxes(
+        jnp.asarray(carry).reshape(n, 2, c // n1, n1), 2, 3)
+    chunk_t = jnp.swapaxes(
+        jnp.asarray(chunk).reshape(n, 2, h // n1, n1), 2, 3)
+    ml, mr, nc = stft_kernel.stft_mag_fused2_tsplit(
+        carry_t, chunk_t, cfg, block_rows=4, interpret=True, plan=plan,
+        lane_pad=True)
+    buf = np.concatenate([carry, chunk], axis=2)
+    rl, rr = stft_kernel.stft_mag_fused2(
+        jnp.asarray(buf[:, 0]), jnp.asarray(buf[:, 1]), cfg, block_rows=4,
+        interpret=True, slice_bins=False, plan=plan, lane_pad=True,
+        padded_layout=True)
+    np.testing.assert_allclose(np.asarray(ml), np.asarray(rl),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mr), np.asarray(rr),
+                               rtol=1e-4, atol=1e-6)
+    nc_pl = np.asarray(jnp.swapaxes(nc, 2, 3)).reshape(n, 2, c)
+    np.testing.assert_array_equal(nc_pl, buf[:, :, -c:])
+    # unaligned hop (the reference's own hop 58): unsupported, not wrong
+    ref = SpectrogramConfig(sample_rate=48000.0, window_period=0.05)
+    assert not stft_kernel.tsplit_supported(
+        ref, 1, stft_kernel.make_plan(ref), lane_pad=True)

@@ -529,3 +529,67 @@ def test_blockwise_palettes_match_per_row(rng):
         np.asarray(p_bw.render_viewport(s_bw)),
         np.asarray(p_pr.render_viewport(s_pr)),
     )
+
+
+def test_tsplit_framing_matches_planar(rng, tmp_path):
+    """framing='tsplit' (round-4-late split-state k=1 path) must emit the same
+    packed bytes as the planar fused path (<= 1 u8 from the stage-1
+    re-association is NOT acceptable here: the colormap quantizes, and on
+    these magnitudes the 1-ulp STFT deltas vanish below the LUT step —
+    require exact), keep the transposed carry faithful, and checkpoint
+    across formats."""
+    import spectrogram_tpu.ops.pallas.colormap_kernel as ck
+    import spectrogram_tpu.ops.pallas.stft_kernel as sk
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.utils import checkpoint
+
+    cfg = SpectrogramConfig(sample_rate=48000.0,
+                            window_period=2048 / 48000.0,
+                            hop_period=800 / 48000.0,
+                            viewport_rows=8, viewport_height=128)
+    orig_cb, orig_cband = ck.colormap_planes_builtin, ck.colormap_planes_banded
+    orig_sk, orig_ts = sk.stft_mag_fused2, sk.stft_mag_fused2_tsplit
+    ck.colormap_planes_builtin = lambda *a, **kw: orig_cb(*a, **{**kw, "interpret": True})
+    ck.colormap_planes_banded = lambda *a, **kw: orig_cband(*a, **{**kw, "interpret": True})
+    sk.stft_mag_fused2 = lambda *a, **kw: orig_sk(*a, **{**kw, "interpret": True})
+    sk.stft_mag_fused2_tsplit = lambda *a, **kw: orig_ts(*a, **{**kw, "interpret": True})
+    try:
+        p_pl = SpectrogramPipeline(cfg, chunk_hops=1, packed_output=True,
+                                   stft_backend="pallas", store_ring=False)
+        p_ts = SpectrogramPipeline(cfg, chunk_hops=1, packed_output=True,
+                                   stft_backend="pallas", store_ring=False,
+                                   framing="tsplit")
+        assert p_ts.tsplit_framing and not p_pl.tsplit_framing
+        assert p_ts.carry_is_transposed
+        s_pl = p_pl.init_state(2, palette_id=0)
+        s_ts = p_ts.init_state(2, palette_id=0)
+        assert s_ts.carry.ndim == 4
+        maxdiff = 0
+        for _ in range(3):
+            chunk = jnp.asarray(
+                rng.standard_normal((2, p_pl.chunk_size, 2)).astype(np.float32) * 0.2
+            )
+            s_pl, out_pl = p_pl.push(s_pl, chunk)
+            s_ts, out_ts = p_ts.push(s_ts, chunk)
+            a = np.asarray(out_pl).view(np.uint8)
+            b = np.asarray(out_ts).view(np.uint8)
+            maxdiff = max(maxdiff, int(np.abs(a.astype(int) - b.astype(int)).max()))
+        assert maxdiff <= 1, maxdiff  # colormap quantization of <=1-ulp mags
+        # carry faithful across formats
+        re_pl = np.asarray(s_ts.carry).swapaxes(2, 3).reshape(2, 2, -1)
+        np.testing.assert_array_equal(re_pl, np.asarray(s_pl.carry))
+        # checkpoint migration planar <-> tsplit
+        checkpoint.save_state(tmp_path / "pl", s_pl, cfg, p_pl)
+        restored = checkpoint.load_state(tmp_path / "pl", p_ts)
+        np.testing.assert_array_equal(
+            np.asarray(restored.carry), np.asarray(s_ts.carry))
+        # gate: unsupported geometry refuses loudly
+        import pytest
+        with pytest.raises(ValueError):
+            SpectrogramPipeline(cfg, chunk_hops=2, stft_backend="pallas",
+                                framing="tsplit")
+    finally:
+        ck.colormap_planes_builtin = orig_cb
+        ck.colormap_planes_banded = orig_cband
+        sk.stft_mag_fused2 = orig_sk
+        sk.stft_mag_fused2_tsplit = orig_ts
