@@ -102,6 +102,7 @@ class SpectrogramPipeline:
         static_palette=None,
         framing: str = "auto",
         blockwise_palettes: bool = False,
+        stream_blocks="auto",
     ):
         cfg.validate()
         self.cfg = cfg
@@ -293,6 +294,26 @@ class SpectrogramPipeline:
         # SMEM flag test per grid step).  Pays off when tenants cluster in
         # contiguous stream ranges (the expected multi-tenant layout).
         self.blockwise_palettes = bool(blockwise_palettes)
+        # stream_blocks (round 4 late): split very large pushes into
+        # UNROLLED sub-pushes over stream blocks.  Mechanism (exp_glue_16k
+        # + exp_blocked_push): the compiled HLO at 10,240 and 16,384
+        # streams is instruction-identical EXCEPT memory-space assignment —
+        # the framing concat/pad fusion outputs ([S, padded] f32) live in
+        # S(1) scoped fast memory up to ~10k streams and fall back to HBM
+        # beyond it, which is the measured super-linear glue-copy scaling
+        # that set the 16k+ throughput droop.  Blocked sub-pushes keep each
+        # block's intermediates inside the scoped regime: 16,384 streams
+        # 13.20 -> 12.01 ms/push (4096-blocks, +10%), 20,480 16.25 ->
+        # 15.30 — inside the 16.67 ms real-time budget.  lax.map blocking
+        # measured NEGATIVE (+12% at 16k: loop machinery costs more than
+        # the regime recovery) — blocks are unrolled straight-line calls.
+        #   "auto" — 4096-stream blocks when S >= _STREAM_BLOCK_AUTO_MIN
+        #            on the k=1 fused streaming config (store_ring=False);
+        #   int N  — always block at N streams;  0 — never block.
+        if stream_blocks != "auto" and not isinstance(stream_blocks, int):
+            raise ValueError(f"stream_blocks must be 'auto' or int, got "
+                             f"{stream_blocks!r}")
+        self.stream_blocks = stream_blocks
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
         if self.stft_lane_pad:
             resample_full_t = self._pad_resample_rows(resample_full_t)
@@ -607,10 +628,85 @@ class SpectrogramPipeline:
         return self._push_core(state, chunk_pl)
 
     def _push_core(self, state: StreamState, chunk_pl: jax.Array):
-        cfg = self.cfg
-        k = self.chunk_hops
         if self.sanitize_input:
             chunk_pl = jnp.where(jnp.isfinite(chunk_pl), chunk_pl, 0.0)
+        bs = self._push_block_streams(chunk_pl.shape[0])
+        if bs:
+            return self._push_blocked(state, chunk_pl, bs)
+        return self._push_one_block(state, chunk_pl)
+
+    # Auto stream-blocking threshold: flat wins at 10,240 (8.06 vs 8.61
+    # ms blocked — the scoped-memory regime still holds), blocked wins
+    # from the measured crossover up (see exp_blocked_push RESULTs).
+    _STREAM_BLOCK_AUTO_MIN = 12288
+    _STREAM_BLOCK_SIZE = 4096
+
+    def _push_block_streams(self, s: int) -> int:
+        """Stream-block size for this push (0 = flat).  Auto blocks only
+        the k=1 fused streaming config (store_ring=False) — the measured
+        wins; other shapes are unmeasured and stay flat unless the user
+        passes an explicit block size."""
+        sb = self.stream_blocks
+        if sb == "auto":
+            if (
+                self.fused_chain
+                and self.chunk_hops == 1
+                and not self.store_ring
+                and s >= self._STREAM_BLOCK_AUTO_MIN
+            ):
+                return self._STREAM_BLOCK_SIZE
+            return 0
+        return sb if 0 < sb < s else 0
+
+    def _push_blocked(self, state: StreamState, chunk_pl: jax.Array,
+                      bs: int):
+        """Unrolled stream-blocked push: slice the per-stream state leaves
+        into bs-stream blocks, run the normal push body per block, and
+        reassemble.  Bitwise-identical to the flat push (the kernels are
+        row-blocked already; only XLA's memory-space assignment changes).
+        Scalars (cursor, row_count) advance identically in every block;
+        palette tables and ids are read-only under push and pass through."""
+        s = chunk_pl.shape[0]
+        nb = -(-s // bs)
+        per_stream_ring = state.ring.ndim >= 1 and state.ring.shape[0] == s
+
+        def blk(x, b):
+            return x[b * bs : min((b + 1) * bs, s)]
+
+        new_blocks = []
+        outs = []
+        for b in range(nb):
+            st_b = StreamState(
+                carry=blk(state.carry, b),
+                ring=blk(state.ring, b) if per_stream_ring else state.ring,
+                cursor=state.cursor,
+                palette_id=blk(state.palette_id, b),
+                row_count=state.row_count,
+                tables=tuple(
+                    blk(t, b) if t.shape[0] == s else t
+                    for t in state.tables
+                ),
+            )
+            nst, rgba = self._push_one_block(st_b, blk(chunk_pl, b))
+            new_blocks.append(nst)
+            outs.append(rgba)
+        n0 = new_blocks[0]
+        new_state = StreamState(
+            carry=jnp.concatenate([n.carry for n in new_blocks], axis=0),
+            ring=(
+                jnp.concatenate([n.ring for n in new_blocks], axis=0)
+                if per_stream_ring else n0.ring
+            ),
+            cursor=n0.cursor,
+            palette_id=state.palette_id,
+            row_count=n0.row_count,
+            tables=state.tables,
+        )
+        return new_state, jnp.concatenate(outs, axis=0)
+
+    def _push_one_block(self, state: StreamState, chunk_pl: jax.Array):
+        cfg = self.cfg
+        k = self.chunk_hops
         if self.tsplit_framing:
             return self._push_fused_tsplit(state, chunk_pl)
         if self.carry_transposed:

@@ -24,6 +24,8 @@ Classes pinned here (each exercises a distinct compile path):
   uniform       — scalar set_palette -> SMEM-scalar uniform-table kernel
   generic       — user-defined FactoredScheme registry (two-table kernel)
   transposed    — transposed-carry state format (4D kernel operand)
+  tsplit        — split-state k=1 framing (boundary-split dots, in-kernel
+                  unaligned static lane-dim carry stores)
   k1            — chunk_hops=1 (channel planes ARE the window operands)
   viewport      — ring render + GL-law width rescale matmul
   xla_parity    — classes 'flip' and 'lane_pad' vs the XLA-composed
@@ -223,6 +225,24 @@ def class_transposed(rng):
     _push_twice(p, 256, rng)
 
 
+def class_tsplit(rng):
+    """Split-state k=1 framing (round-4-late measured negative, kept
+    opt-in): carry state + hop chunk as separate kernel operands, next
+    carry emitted in-kernel via unaligned static lane-dim stores — a
+    distinct Mosaic lowering class (boundary-split accumulating dots)."""
+    from spectrogram_tpu.ops.pallas import stft_kernel as sk
+
+    cfg = _cfg_bench()
+    plan = sk.make_plan(cfg)
+    assert sk.tsplit_supported(cfg, 1, plan), (
+        "bench geometry lost tsplit framing support"
+    )
+    p = _pl(cfg, chunk_hops=1, store_ring=False,
+            packed_output=True, framing="tsplit")
+    assert p.tsplit_framing
+    _push_twice(p, 256, rng)
+
+
 def class_k1(rng):
     p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
             packed_output=True)
@@ -269,6 +289,7 @@ CLASSES = (
     ("uniform", class_uniform),
     ("generic", class_generic),
     ("transposed", class_transposed),
+    ("tsplit", class_tsplit),
     ("k1", class_k1),
     ("viewport", class_viewport),
     ("xla_parity", class_xla_parity),

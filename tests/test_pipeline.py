@@ -593,3 +593,58 @@ def test_tsplit_framing_matches_planar(rng, tmp_path):
         ck.colormap_planes_banded = orig_cband
         sk.stft_mag_fused2 = orig_sk
         sk.stft_mag_fused2_tsplit = orig_ts
+
+
+def test_stream_blocked_push_matches_flat(rng):
+    """Explicit stream_blocks splits the push into unrolled sub-pushes
+    that must be bitwise-identical to the flat push (exp_blocked_push:
+    the production auto policy engages at >= 12,288 streams on hardware;
+    here a tiny explicit block size exercises the same slicing/reassembly,
+    including an uneven tail block), with state advanced identically."""
+    S, BS = 7, 3  # 3 blocks: 3 + 3 + 1 (uneven tail)
+    p_flat = make_pipeline(store_ring=True)
+    p_blk = make_pipeline(store_ring=True, stream_blocks=BS)
+    assert p_blk._push_block_streams(S) == BS
+    assert p_flat._push_block_streams(S) == 0
+    s_f = p_flat.set_palette(p_flat.init_state(S),
+                             jnp.arange(S, dtype=jnp.int32) % 5)
+    s_b = p_blk.set_palette(p_blk.init_state(S),
+                            jnp.arange(S, dtype=jnp.int32) % 5)
+    for _ in range(3):
+        chunk = jnp.asarray(
+            rng.standard_normal((S, p_flat.chunk_size, 2)).astype(np.float32)
+        )
+        s_f, out_f = p_flat.push(s_f, chunk)
+        s_b, out_b = p_blk.push(s_b, chunk)
+        np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_b))
+    np.testing.assert_array_equal(np.asarray(s_f.carry), np.asarray(s_b.carry))
+    np.testing.assert_array_equal(
+        np.asarray(s_f.ring, dtype=np.float32),
+        np.asarray(s_b.ring, dtype=np.float32),
+    )
+    assert int(s_f.cursor) == int(s_b.cursor)
+    assert int(s_f.row_count) == int(s_b.row_count)
+    # viewport render sees the reassembled state transparently
+    np.testing.assert_array_equal(
+        np.asarray(p_flat.render_viewport(s_f)),
+        np.asarray(p_blk.render_viewport(s_b)),
+    )
+
+
+def test_stream_blocks_auto_policy():
+    """Auto blocking engages only on the measured-win config: k=1 fused
+    streaming at >= 12,288 streams; everything else stays flat."""
+    import jax
+
+    p = make_pipeline(store_ring=False)  # chunk_hops=4 -> k>1: flat
+    assert p._push_block_streams(20480) == 0
+    p1 = SpectrogramPipeline(CFG, chunk_hops=1, store_ring=False)
+    expect = (SpectrogramPipeline._STREAM_BLOCK_SIZE
+              if p1.fused_chain else 0)  # fused only on TPU backends
+    assert p1._push_block_streams(16384) == expect
+    assert p1._push_block_streams(10240) == 0  # measured: flat wins at 10k
+    p_ring = SpectrogramPipeline(CFG, chunk_hops=1, store_ring=True)
+    assert p_ring._push_block_streams(16384) == 0  # ring concat unmeasured
+    p_off = SpectrogramPipeline(CFG, chunk_hops=1, store_ring=False,
+                                stream_blocks=0)
+    assert p_off._push_block_streams(16384) == 0
