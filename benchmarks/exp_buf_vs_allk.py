@@ -8,6 +8,16 @@ and the auto routing preference (allk first) is an unmeasured choice.
 This harness scans both on identical carry+chunk planes and checks parity.
 
 Usage: python benchmarks/exp_buf_vs_allk.py [S] [k]  (defaults 4096 8)
+
+RESULT (v5e, round 4 late; S=4096 k=8, window 2048 hop 1024, plan
+32x128): parity BITWISE (maxabs 0.00e+00 on hardware; interpret-mode
+cross-check 1.9e-9 at tiny S); allk 11.94 ms/push vs buf 13.54 —
+**allk wins by 13% even where buf's alignment gate passes**.  The
+element-offset window DMAs re-fetch the overlapped samples once per
+window (2x reads at 50% overlap) while allk reads each sample plane
+once and slices windows in-VMEM — bandwidth beats DMA-addressing
+convenience.  The `auto` routing preference (allk first, buf only as
+explicit override) is now a measured choice, closing the round-4 lead.
 """
 import sys
 import pathlib
@@ -61,10 +71,13 @@ def run_allk(l, r):
 
 al, ar = run_allk(BUF_L, BUF_R)
 bl, br = run_buf(BUF_L, BUF_R)
-# buf rows are window-major [r0 streams.., r1 streams..]; allk is
-# stream-major [s0 windows.., s1 windows..] — remap before comparing.
-blv = np.asarray(bl).reshape(K, S, -1).transpose(1, 0, 2).reshape(K * S, -1)
-d = float(np.abs(blv - np.asarray(al)).max())
+# BOTH entry points emit window-major rows (window r of stream s at row
+# r*S + s — see the two docstrings); compare directly.  (The first cut
+# of this harness remapped buf as if allk were stream-major, which made
+# parity look broken at ~100% relative error — harness bug, not kernel.)
+d = float(np.abs(np.asarray(bl) - np.asarray(al)).max())
+ref = float(np.abs(np.asarray(al)).max())
+print(f"  (max |allk| = {ref:.3e})")
 print(f"S={S} k={K} window {W} hop {H} plan {PLAN.n1}x{PLAN.n2}: "
       f"parity maxabs={d:.2e}", flush=True)
 
