@@ -102,11 +102,29 @@ def main() -> None:
     # SMEM-scalar uniform colormap kernel (runtime-switchable single-
     # palette mode; the headline stays per-stream multi-tenant tables)
     uniform = os.environ.get("BENCH_UNIFORM_PALETTE", "0") == "1"
+    # BENCH_PALETTE_LAYOUT (round 4 late): the per-stream headline now sets
+    # an explicitly SCATTERED id layout so it keeps measuring true per-row
+    # tables — blockwise_palettes="auto" (the new default) would otherwise
+    # flip init_state's all-one-palette layout to the blockwise kernel and
+    # quietly inflate the headline.  "clustered" = 128-stream palette
+    # blocks (every colormap row block single-palette -> the auto blockwise
+    # win); "default" = init_state's layout (all one palette -> blockwise
+    # under auto).
+    layout = os.environ.get("BENCH_PALETTE_LAYOUT", "scattered")
 
     def init_state():
         state = pipeline.init_state(n_streams)
         if uniform:
-            state = pipeline.set_palette(state, 1)
+            return pipeline.set_palette(state, 1)
+        n_p = len(pipeline.schemes)
+        if layout == "scattered":
+            ids = np.arange(n_streams, dtype=np.int32) % n_p
+            state = pipeline.set_palette(state, ids)
+        elif layout == "clustered":
+            ids = ((np.arange(n_streams) // 128) % n_p).astype(np.int32)
+            state = pipeline.set_palette(state, ids)
+        elif layout != "default":
+            raise SystemExit(f"unknown BENCH_PALETTE_LAYOUT {layout!r}")
         return state
 
     scan_fn = jax.jit(scan_pushes, donate_argnums=0)

@@ -101,7 +101,7 @@ class SpectrogramPipeline:
         transposed_carry: bool = False,
         static_palette=None,
         framing: str = "auto",
-        blockwise_palettes: bool = False,
+        blockwise_palettes="auto",
         stream_blocks="auto",
     ):
         cfg.validate()
@@ -292,8 +292,24 @@ class SpectrogramPipeline:
         # kernels — ts-row blocks whose streams share one palette take the
         # SMEM-scalar path, mixed blocks fall back to per-row tables (one
         # SMEM flag test per grid step).  Pays off when tenants cluster in
-        # contiguous stream ranges (the expected multi-tenant layout).
-        self.blockwise_palettes = bool(blockwise_palettes)
+        # contiguous stream ranges (the expected multi-tenant layout):
+        # measured -29% colormap clustered, +4% fully scattered
+        # (exp_colormap_blockwise).
+        #   "auto" (default, round 4 late) — set_palette/init_state decide
+        #     per STATE from concrete palette layouts: when >= half the
+        #     colormap row blocks are single-palette the state carries a
+        #     zero-size marker in its tables tuple and pushes trace the
+        #     blockwise kernel; scattered layouts keep the per-row kernel
+        #     (no +4% tax).  Traced (in-jit) ids preserve the previous
+        #     state's decision.  Structure changes re-trace once, exactly
+        #     like the uniform <-> per-stream switch.
+        #   True — always blockwise (the round-4 opt-in); False — never.
+        if blockwise_palettes not in (False, True, "auto"):
+            raise ValueError(
+                "blockwise_palettes must be False, True or 'auto'; got "
+                f"{blockwise_palettes!r}"
+            )
+        self.blockwise_palettes = blockwise_palettes
         # stream_blocks (round 4 late): split very large pushes into
         # UNROLLED sub-pushes over stream blocks.  Mechanism (exp_glue_16k
         # + exp_blocked_push): the compiled HLO at 10,240 and 16,384
@@ -516,6 +532,17 @@ class SpectrogramPipeline:
         else:
             carry = jnp.zeros((n_streams, 2, self.carry_size), jnp.float32)
         pid = jnp.full((n_streams,), palette_id, jnp.int32)
+        tables = self.state_tables_for(pid)
+        if (
+            self.blockwise_palettes == "auto"
+            and len(tables) == 1
+            and self.colormap_backend == "pallas"
+            and self._blockwise_auto_decision(
+                np.full((n_streams,), int(palette_id), np.int64)
+            )
+        ):
+            # the all-one-palette default layout is maximally clustered
+            tables = tables + (self._bw_marker(),)
         return StreamState(
             carry=carry,
             ring=jnp.zeros(
@@ -524,7 +551,7 @@ class SpectrogramPipeline:
             cursor=jnp.zeros((), jnp.int32),
             palette_id=pid,
             row_count=jnp.zeros((), jnp.int32),
-            tables=self.state_tables_for(pid),
+            tables=tables,
         )
 
     def set_palette(self, state: StreamState, palette_id) -> StreamState:
@@ -540,7 +567,17 @@ class SpectrogramPipeline:
                 "kernels; runtime switching needs a pipeline without "
                 "static_palette (or a new pipeline per palette)"
             )
+        # Two notions of "concrete": range VALIDATION raises only for
+        # host-provided python/numpy ids (jax arrays — eager or traced —
+        # keep the documented clamp semantics, the GL-sampler behavior,
+        # ADVICE r3); the blockwise-auto LAYOUT decision can additionally
+        # inspect eager jax arrays — only true tracers are opaque.
         ids = np.asarray(palette_id) if not isinstance(palette_id, jax.Array) else None
+        ids_layout = (
+            None
+            if isinstance(palette_id, jax.core.Tracer)
+            else np.asarray(palette_id)
+        )
         if ids is not None and (
             ids.min() < 0 or ids.max() >= len(self.schemes)
         ):
@@ -560,8 +597,100 @@ class SpectrogramPipeline:
                 jnp.asarray([palette_id], jnp.int32)
             )
         else:
-            tables = self.state_tables_for(pid)
+            tables = self._maybe_mark_blockwise(
+                self.state_tables_for(pid), ids_layout, state
+            )
         return state._replace(palette_id=pid, tables=tables)
+
+    # ---------------------------------------------------------- blockwise auto
+    @staticmethod
+    def _bw_marker() -> jax.Array:
+        """Zero-size 1-D sentinel appended to state.tables when the state's
+        palette layout should take the blockwise colormap kernel: pytree
+        STRUCTURE carries the decision, so jitted pushes re-trace on a
+        layout-class change exactly like the uniform <-> per-stream switch
+        (real tables are all 2-D, so 1-D is unambiguous)."""
+        return jnp.zeros((0,), jnp.int32)
+
+    def _cmap_ts(self, n_rows: int) -> int:
+        """Replicate the colormap entries' row-block-size (ts) choice
+        (colormap_kernel._auto_blocks + the n % block_rows fallback) so the
+        auto-blockwise clustering decision matches the kernel's actual
+        uniformity granularity."""
+        if self.cmap_segments_full is not None:
+            b = max(hi - lo for _, _, lo, hi in self.cmap_segments_full)
+        else:
+            b = self.resample_t_full.shape[0]
+        block_rows, _ = cmap_kernel._auto_blocks(b, None, None)
+        return min(block_rows, n_rows) if n_rows % block_rows else block_rows
+
+    def _blockwise_auto_decision(self, ids: np.ndarray) -> bool:
+        """True when >= half the ts-row colormap blocks of this concrete
+        per-stream palette layout are single-palette.  Measured economics
+        (exp_colormap_blockwise): -29% colormap on uniform blocks, +4% on
+        mixed — breakeven is ~12% uniform blocks; 50% keeps a wide margin
+        for the flag-test overhead on borderline layouts."""
+        s = int(ids.shape[0])
+        ts = self._cmap_ts(s * self.chunk_hops)
+        nb = s // ts
+        if nb == 0:
+            return bool((ids == ids.flat[0]).all())
+        head = ids[: nb * ts].reshape(nb, ts)
+        uniform = (head == head[:, :1]).all(axis=1)
+        return float(uniform.mean()) >= 0.5
+
+    def _maybe_mark_blockwise(self, tables: tuple, ids,
+                              prev_state: "StreamState") -> tuple:
+        """Append the blockwise marker to a freshly picked per-stream tables
+        tuple when the auto policy applies.  `ids` is the concrete numpy id
+        layout, or None when the caller passed a traced array — then the
+        previous state's decision is preserved (there is nothing concrete
+        to inspect, and flipping structure under jit would be an error
+        anyway)."""
+        if (
+            self.blockwise_palettes != "auto"
+            or len(tables) != 1
+            or self.colormap_backend != "pallas"
+        ):
+            return tables  # forced/off, static, generic, or XLA colormap
+        if ids is None:
+            if prev_state.tables and prev_state.tables[-1].ndim == 1:
+                return tables + (self._bw_marker(),)
+            return tables
+        s = prev_state.palette_id.shape[0]
+        layout = np.broadcast_to(np.asarray(ids, np.int64), (s,))
+        if self._blockwise_auto_decision(layout):
+            return tables + (self._bw_marker(),)
+        return tables
+
+    def restored_tables_for(self, palette_id) -> tuple:
+        """state_tables_for + the blockwise-auto decision re-applied from
+        CONCRETE ids — for checkpoint restore, where palette_id is real
+        data (the persisted layout keeps its kernel class across a
+        save/load cycle)."""
+        tables = self.state_tables_for(jnp.asarray(palette_id, jnp.int32))
+        if (
+            self.blockwise_palettes == "auto"
+            and len(tables) == 1
+            and self.colormap_backend == "pallas"
+            and getattr(palette_id, "is_fully_addressable", True)
+            and self._blockwise_auto_decision(
+                np.asarray(palette_id, np.int64)
+            )
+        ):
+            tables = tables + (self._bw_marker(),)
+        return tables
+
+    def _state_blockwise(self, state: "StreamState") -> bool:
+        """Trace-time blockwise flag for this state: forced True, or the
+        auto marker present in the tables tuple."""
+        if self.blockwise_palettes is True:
+            return True
+        return (
+            self.blockwise_palettes == "auto"
+            and bool(state.tables)
+            and state.tables[-1].ndim == 1
+        )
 
     def state_tables_for(self, palette_id: jax.Array) -> tuple:
         """The pre-picked kernel-table tuple for a [S] palette-id array:
@@ -753,7 +882,8 @@ class SpectrogramPipeline:
         cursor = (state.cursor + k) % self.viewport_rows
 
         rgba_u8 = self._colormap_u8(
-            rows, state.palette_id, picked=self._state_tables(state)
+            rows, state.palette_id, picked=self._state_tables(state),
+            blockwise=self._state_blockwise(state),
         )
         new_state = StreamState(
             carry=new_carry,
@@ -909,6 +1039,7 @@ class SpectrogramPipeline:
             # re-reads the stream-s block for every window r via a modular
             # index map (table_period) — no per-push pick, no k-expansion.
             tabs, static = self._state_tables(state), None
+        bw = self._state_blockwise(state)
         if self.cmap_segments_full is not None:
             packed = cmap_kernel.colormap_planes_banded(
                 mag_l, mag_r, tabs, self.resample_t_full, cfg,
@@ -917,7 +1048,7 @@ class SpectrogramPipeline:
                 interpret=self.kernel_interpret,
                 static_table=static,
                 table_period=s,
-                blockwise=self.blockwise_palettes,
+                blockwise=bw,
             )                                                 # [S*k, H]
         else:
             packed = cmap_kernel.colormap_planes_builtin(
@@ -926,7 +1057,7 @@ class SpectrogramPipeline:
                 interpret=self.kernel_interpret,
                 static_table=static,
                 table_period=s,
-                blockwise=self.blockwise_palettes,
+                blockwise=bw,
             )                                                 # [S*k, H]
         if k > 1:
             packed = packed.reshape(k, s, -1).swapaxes(0, 1)  # [S, k, H]
@@ -965,6 +1096,7 @@ class SpectrogramPipeline:
         if self.static_table is not None:
             return None
         tabs = state.tables or self.state_tables_for(state.palette_id)
+        tabs = tuple(t for t in tabs if t.ndim != 1)  # drop blockwise marker
         return tabs[0] if len(tabs) == 1 else tabs
 
     def _kernel_tables(self, palette_id: jax.Array, k: int, order: str):
@@ -1009,13 +1141,16 @@ class SpectrogramPipeline:
         return stft_ops.stft_frame_planar(interleaved, cfg)
 
     def _colormap_u8(
-        self, rows: jax.Array, palette_id: jax.Array, picked=None
+        self, rows: jax.Array, palette_id: jax.Array, picked=None,
+        blockwise: bool | None = None,
     ) -> jax.Array:
         """[S, k, B, 2] magnitude rows -> [S, k, H, 4] u8 RGBA with a
         per-stream palette, via the selected backend.  `picked` short-cuts
         the palette pick with pre-picked [S, R*4] tables (state.tables) —
         rows here are stream-major, so they still k-expand with repeat."""
         s, k = rows.shape[0], rows.shape[1]
+        if blockwise is None:
+            blockwise = self.blockwise_palettes is True
         if self.colormap_backend == "pallas":
             flat = rows.reshape(s * k, 2, rows.shape[3])
             if self.static_table is not None:
@@ -1035,14 +1170,14 @@ class SpectrogramPipeline:
                     self.cfg, self.cmap_segments,
                     interpret=self.kernel_interpret,
                     static_table=static,
-                    blockwise=self.blockwise_palettes,
+                    blockwise=blockwise,
                 ).reshape(s, k, -1)
             else:
                 packed = cmap_kernel.colormap_planes_builtin(
                     flat[:, 0, :], flat[:, 1, :], tabs, self.resample_t,
                     self.cfg, interpret=self.kernel_interpret,
                     static_table=static,
-                    blockwise=self.blockwise_palettes,
+                    blockwise=blockwise,
                 ).reshape(s, k, -1)
             if self.packed_output:
                 return packed
@@ -1109,7 +1244,8 @@ class SpectrogramPipeline:
                 precision=jax.lax.Precision.HIGHEST,
             )
         return self._colormap_u8(
-            ordered, state.palette_id, picked=self._state_tables(state)
+            ordered, state.palette_id, picked=self._state_tables(state),
+            blockwise=self._state_blockwise(state),
         )
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -43,24 +43,31 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 
 def state_shardings(
-    mesh: Mesh, carry_ndim: int = 3, n_tables: int = 0
+    mesh: Mesh, carry_ndim: int = 3, n_tables: int = 0,
+    bw_marker: bool = False,
 ) -> StreamState:
     """NamedShardings for every StreamState leaf: stream-sharded arrays,
     replicated scalars.  `carry_ndim` tracks the pipeline's carry format
     (3 = planar [S, 2, C]; 4 = transposed [S, 2, n1, C/n1]) — the stream
     axis leads either way.  `n_tables` is the pipeline's pre-picked kernel
     table count (0 static-palette, 1 built-in registry, 2 generic); the
-    [S, R*4] tables shard along streams like every per-stream array."""
+    [S, R*4] tables shard along streams like every per-stream array.
+    `bw_marker` appends the replicated zero-size blockwise-auto sentinel
+    leaf (see SpectrogramPipeline._bw_marker) the pipeline's init_state
+    emits under blockwise_palettes="auto"."""
     def s(*spec):
         return NamedSharding(mesh, P(*spec))
 
+    tables = tuple(s(STREAM_AXIS, None) for _ in range(n_tables))
+    if bw_marker:
+        tables = tables + (s(),)
     return StreamState(
         carry=s(STREAM_AXIS, *([None] * (carry_ndim - 1))),
         ring=s(STREAM_AXIS, None, None, None),
         cursor=s(),
         palette_id=s(STREAM_AXIS),
         row_count=s(),
-        tables=tuple(s(STREAM_AXIS, None) for _ in range(n_tables)),
+        tables=tables,
     )
 
 
@@ -73,6 +80,18 @@ def _n_tables(pipeline: SpectrogramPipeline) -> int:
     if getattr(pipeline, "static_table", None) is not None:
         return 0
     return 1 if getattr(pipeline, "builtin_tables", None) is not None else 2
+
+
+def _auto_marker(pipeline: SpectrogramPipeline) -> bool:
+    """Mirror init_state's blockwise-auto outcome (an all-one-palette
+    layout is always clustered, so the marker is present exactly when the
+    auto policy applies to the single-array builtin registry)."""
+    return (
+        getattr(pipeline, "blockwise_palettes", False) == "auto"
+        and getattr(pipeline, "static_table", None) is None
+        and getattr(pipeline, "builtin_tables", None) is not None
+        and getattr(pipeline, "colormap_backend", None) == "pallas"
+    )
 
 
 def chunk_sharding(mesh: Mesh) -> NamedSharding:
@@ -91,7 +110,11 @@ def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
     """Place an (unsharded) state onto the mesh.  Uniform-palette tables
     ([1, R*4], from a scalar set_palette) replicate — there is no stream
     axis to shard."""
-    ss = state_shardings(mesh, state.carry.ndim, len(state.tables))
+    n_real = sum(1 for t in state.tables if t.ndim == 2)
+    ss = state_shardings(
+        mesh, state.carry.ndim, n_real,
+        bw_marker=len(state.tables) > n_real,
+    )
     if state.tables and state.tables[0].shape[0] == 1:
         ss = ss._replace(
             tables=tuple(NamedSharding(mesh, P()) for _ in state.tables)
@@ -110,7 +133,8 @@ def sharded_init(
     return jax.jit(
         functools.partial(pipeline.init_state, n_streams, palette_id=palette_id),
         out_shardings=state_shardings(
-            mesh, _carry_ndim(pipeline), _n_tables(pipeline)
+            mesh, _carry_ndim(pipeline), _n_tables(pipeline),
+            bw_marker=_auto_marker(pipeline),
         ),
     )()
 
@@ -121,7 +145,8 @@ def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh):
     Returns step(state, chunk) -> (state, rgba_u8).  The stream count must be
     divisible by mesh size.  State is donated: the ring never leaves HBM.
     """
-    ss = state_shardings(mesh, _carry_ndim(pipeline), _n_tables(pipeline))
+    ss = state_shardings(mesh, _carry_ndim(pipeline), _n_tables(pipeline),
+                         bw_marker=_auto_marker(pipeline))
     return jax.jit(
         pipeline.push_impl,
         in_shardings=(ss, chunk_sharding(mesh)),
@@ -144,7 +169,7 @@ def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh):
         row_count=P(),
         tables=tuple(
             P(STREAM_AXIS, None) for _ in range(_n_tables(pipeline))
-        ),
+        ) + ((P(),) if _auto_marker(pipeline) else ()),
     )
 
     def per_chip(state: StreamState, chunk: jax.Array):

@@ -27,6 +27,9 @@ Classes pinned here (each exercises a distinct compile path):
   tsplit        — split-state k=1 framing (boundary-split dots, in-kernel
                   unaligned static lane-dim carry stores)
   k1            — chunk_hops=1 (channel planes ARE the window operands)
+  blockwise_auto — blockwise_palettes="auto": clustered layout takes the
+                  scalar-prefetch blockwise kernel (marker present),
+                  scattered stays per-row; bitwise vs blockwise=False
   viewport      — ring render + GL-law width rescale matmul
   xla_parity    — classes 'flip' and 'lane_pad' vs the XLA-composed
                   backends on the same chunk (<= 1 u8)
@@ -249,6 +252,36 @@ def class_k1(rng):
     _push_twice(p, 256, rng)
 
 
+def class_blockwise_auto(rng):
+    """blockwise_palettes="auto" (round-4-late default): a clustered
+    concrete layout must carry the marker and compile the scalar-prefetch
+    blockwise kernel; a scattered layout must stay on the per-row kernel.
+    Output parity vs blockwise=False is bitwise (the per-row fallback
+    branch inside the blockwise kernel is the same math)."""
+    import jax.numpy as jnp
+
+    s = 256
+    p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+            packed_output=True)
+    clustered = np.repeat(np.arange(s // 128) % 19, 128).astype(np.int32)
+    scattered = (np.arange(s) % 19).astype(np.int32)
+    st = p.set_palette(p.init_state(s), clustered)
+    assert p._state_blockwise(st), "clustered layout lost the auto marker"
+    st_sc = p.set_palette(st, scattered)
+    assert not p._state_blockwise(st_sc), (
+        "scattered layout wrongly kept the blockwise marker"
+    )
+    _, rows_auto = _push_twice(p, s, np.random.default_rng(7),
+                               palette_ids=clustered)
+    p_off = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+                packed_output=True, blockwise_palettes=False)
+    _, rows_off = _push_twice(p_off, s, np.random.default_rng(7),
+                              palette_ids=clustered)
+    assert (rows_auto == rows_off).all(), (
+        "auto-blockwise output differs from the per-row kernel"
+    )
+
+
 def class_viewport(rng):
     p = _pl(_cfg_bench(), chunk_hops=8, viewport_rows=64)
     state, _ = _push_twice(p, 16, rng)
@@ -291,6 +324,7 @@ CLASSES = (
     ("transposed", class_transposed),
     ("tsplit", class_tsplit),
     ("k1", class_k1),
+    ("blockwise_auto", class_blockwise_auto),
     ("viewport", class_viewport),
     ("xla_parity", class_xla_parity),
 )

@@ -117,8 +117,10 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
         row_count=jnp.asarray(z["row_count"]),
         # kernel tables are DERIVED state (palette_id x the restoring
         # pipeline's registry) — recomputed, never persisted, so a
-        # checkpoint restores cleanly into a pipeline with different schemes
-        tables=pipeline.state_tables_for(palette_id),
+        # checkpoint restores cleanly into a pipeline with different
+        # schemes; the blockwise-auto marker is re-decided from the
+        # restored (concrete) layout
+        tables=pipeline.restored_tables_for(palette_id),
     )
     import functools
 
@@ -128,6 +130,11 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
     for name in StreamState._fields:
         got = [x.shape for x in jax.tree.leaves(getattr(state, name))]
         want = [x.shape for x in jax.tree.leaves(getattr(expected, name))]
+        if name == "tables":
+            # the zero-size blockwise-auto marker tracks the palette
+            # LAYOUT class, not geometry — exempt from the shape contract
+            got = [s_ for s_ in got if s_ != (0,)]
+            want = [s_ for s_ in want if s_ != (0,)]
         if got != want:
             raise ValueError(
                 f"checkpoint field {name} shape {got} != pipeline "
@@ -224,7 +231,19 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
         pipeline.state_tables_for,
         out_shardings=(shardings.tables if mesh is not None else None),
     )
-    state = StreamState(**restored, tables=tables_fn(restored["palette_id"]))
+    tables = tuple(tables_fn(restored["palette_id"]))
+    pid_r = restored["palette_id"]
+    if (
+        getattr(pipeline, "blockwise_palettes", False) == "auto"
+        and len(tables) == 1
+        and pipeline.colormap_backend == "pallas"
+        and getattr(pid_r, "is_fully_addressable", True)
+        and pipeline._blockwise_auto_decision(np.asarray(pid_r, np.int64))
+    ):
+        # re-decide the blockwise-auto marker from the restored (concrete)
+        # layout; the sharded table pick above is untouched
+        tables = tables + (pipeline._bw_marker(),)
+    state = StreamState(**restored, tables=tables)
     _check_cursor_alignment(state, pipeline, pipeline_meta)
     return state
 

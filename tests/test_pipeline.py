@@ -648,3 +648,93 @@ def test_stream_blocks_auto_policy():
     p_off = SpectrogramPipeline(CFG, chunk_hops=1, store_ring=False,
                                 stream_blocks=0)
     assert p_off._push_block_streams(16384) == 0
+
+
+def test_blockwise_auto_policy_markers(rng):
+    """blockwise_palettes="auto" (the default): the marker (a zero-size
+    1-D tables leaf) tracks the concrete palette layout class — present
+    for clustered/all-one layouts on the pallas colormap, absent for
+    scattered, preserved for traced ids, never in uniform/static mode."""
+    import jax
+
+    p = make_pipeline(colormap_backend="pallas", kernel_interpret=True)
+    assert p.blockwise_palettes == "auto"
+    s0 = p.init_state(6)  # all one palette -> maximally clustered
+    assert p._state_blockwise(s0)
+    assert s0.tables[-1].ndim == 1 and s0.tables[-1].shape == (0,)
+    # scattered concrete ids drop the marker (3 ids in a ts >= 6 block)
+    s_sc = p.set_palette(s0, np.asarray([0, 1, 2, 3, 4, 5]))
+    assert not p._state_blockwise(s_sc)
+    assert all(t.ndim == 2 for t in s_sc.tables)
+    # clustered concrete ids (single palette everywhere) restore it
+    s_cl = p.set_palette(s_sc, np.asarray([3, 3, 3, 3, 3, 3]))
+    assert p._state_blockwise(s_cl)
+    # traced ids preserve the incoming state's decision
+    switch = jax.jit(lambda st, ids: p.set_palette(st, ids))
+    s_tr = switch(s_cl, jnp.asarray([0, 1, 2, 3, 4, 5]))
+    assert p._state_blockwise(s_tr)  # kept (was blockwise)
+    s_tr2 = switch(s_sc, jnp.asarray([3, 3, 3, 3, 3, 3]))
+    assert not p._state_blockwise(s_tr2)  # kept (was per-row)
+    # scalar set_palette -> uniform kernel mode, no marker
+    s_u = p.set_palette(s0, 2)
+    assert s_u.tables[0].shape[0] == 1 and not p._state_blockwise(s_u)
+    # forced modes ignore layouts
+    p_on = make_pipeline(colormap_backend="pallas", kernel_interpret=True,
+                         blockwise_palettes=True)
+    assert p_on._state_blockwise(p_on.init_state(4)._replace(tables=()))
+    p_off = make_pipeline(blockwise_palettes=False)
+    assert not p_off._state_blockwise(p_off.init_state(4))
+
+
+def test_blockwise_auto_matches_forced_off(rng):
+    """Clustered-layout pushes under auto (blockwise kernel) are bitwise
+    equal to blockwise_palettes=False (per-row kernel), streaming state
+    included."""
+    kw = dict(chunk_hops=4, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True)
+    p_auto = SpectrogramPipeline(CFG, **kw)
+    p_off = SpectrogramPipeline(CFG, blockwise_palettes=False, **kw)
+    # at tiny S one colormap row block spans the whole batch (ts > S*k),
+    # so "clustered" means all-one-palette — set via a per-stream ARRAY so
+    # both pipelines stay on per-stream tables (scalar would go uniform)
+    ids = np.asarray([5, 5, 5, 5, 5, 5], np.int32)
+    s_a = p_auto.set_palette(p_auto.init_state(6), ids)
+    s_o = p_off.set_palette(p_off.init_state(6), ids)
+    assert p_auto._state_blockwise(s_a) and not p_off._state_blockwise(s_o)
+    for _ in range(2):
+        chunk = jnp.asarray(
+            rng.standard_normal((6, p_auto.chunk_size, 2)).astype(np.float32)
+        )
+        s_a, out_a = p_auto.push(s_a, chunk)
+        s_o, out_o = p_off.push(s_o, chunk)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_o))
+    np.testing.assert_array_equal(
+        np.asarray(p_auto.render_viewport(s_a)),
+        np.asarray(p_off.render_viewport(s_o)),
+    )
+
+
+def test_blockwise_marker_checkpoint_roundtrip(rng, tmp_path):
+    """npz save/load keeps the blockwise-auto layout class: the marker is
+    re-decided from the restored concrete ids and the init_state shape
+    contract tolerates both layout classes."""
+    from spectrogram_tpu.utils.checkpoint import load_state, save_state
+
+    p = make_pipeline(store_ring=True, stft_backend="pallas",
+                      colormap_backend="pallas", kernel_interpret=True)
+    s = p.set_palette(p.init_state(4), np.asarray([1, 1, 1, 1]))
+    chunk = jnp.asarray(
+        rng.standard_normal((4, p.chunk_size, 2)).astype(np.float32))
+    s, _ = p.push(s, chunk)
+    marked = p._state_blockwise(s)
+    save_state(tmp_path / "ck.npz", s, p.cfg, pipeline=p)
+    r = load_state(tmp_path / "ck.npz", p)
+    assert p._state_blockwise(r) == marked
+    # a scattered layout round-trips to the per-row class
+    s2 = p.set_palette(s, np.asarray([0, 1, 2, 3]))
+    save_state(tmp_path / "ck2.npz", s2, p.cfg, pipeline=p)
+    r2 = load_state(tmp_path / "ck2.npz", p)
+    assert not p._state_blockwise(r2)
+    s2p, o2p = p.push(s2, chunk)
+    r2p, o2r = p.push(r2, chunk)
+    np.testing.assert_array_equal(np.asarray(o2p), np.asarray(o2r))
