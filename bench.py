@@ -72,9 +72,14 @@ def main() -> None:
         ) if (sp := os.environ.get("BENCH_STATIC_PALETTE", "")) else None,
         # BENCH_FRAMING=allk|planes|auto (round-4 all-windows kernel knob)
         framing=os.environ.get("BENCH_FRAMING", "auto"),
-        # BENCH_BLOCKWISE=1: per-block palette-uniformity colormap kernel
-        # (off by default so the headline measures true per-row tables)
-        blockwise_palettes=os.environ.get("BENCH_BLOCKWISE", "0") == "1",
+        # BENCH_BLOCKWISE: per-block palette-uniformity colormap kernel —
+        # "auto" (default, matches the library default: concrete layout
+        # decides), "1" forced on, "0" forced off.  The headline stays
+        # honest either way because BENCH_PALETTE_LAYOUT pins a scattered
+        # layout (auto declines it).
+        blockwise_palettes={"0": False, "1": True}.get(
+            os.environ.get("BENCH_BLOCKWISE", "auto"), "auto"
+        ),
     )
 
     rng = np.random.default_rng(0)
