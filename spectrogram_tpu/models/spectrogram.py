@@ -103,6 +103,7 @@ class SpectrogramPipeline:
         framing: str = "auto",
         blockwise_palettes="auto",
         stream_blocks="auto",
+        palette_sort: bool = False,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -330,6 +331,22 @@ class SpectrogramPipeline:
             raise ValueError(f"stream_blocks must be 'auto' or int, got "
                              f"{stream_blocks!r}")
         self.stream_blocks = stream_blocks
+        # palette_sort (round 4 late, opt-in pending hardware measurement):
+        # for SCATTERED per-stream palette layouts — where blockwise_palettes
+        # can't help and the colormap pays per-row LUT broadcasts — a stable
+        # argsort of the palette ids at set_palette time makes any layout
+        # clustered.  The state stores the SORTED kernel tables plus the
+        # (block-relative) permutation; each push permutes the STFT
+        # magnitude planes into sorted order, runs the cheaper blockwise
+        # colormap, and unpermutes the packed output.  Pays iff leading-axis
+        # row takes ride the copy engines (exp_permute_gather) and the
+        # SORTED layout passes the blockwise economics (>= half the colormap
+        # row blocks single-palette after sorting — e.g. 19 palettes over
+        # 10k streams sorts into ~540-stream runs).  Engages only on the
+        # fused Pallas chain with the single-array built-in table registry;
+        # NOT supported under parallel.mesh sharding (a global sort crosses
+        # shard boundaries) — sharded states are never sorted.
+        self.palette_sort = bool(palette_sort)
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
         if self.stft_lane_pad:
             resample_full_t = self._pad_resample_rows(resample_full_t)
@@ -597,9 +614,14 @@ class SpectrogramPipeline:
                 jnp.asarray([palette_id], jnp.int32)
             )
         else:
-            tables = self._maybe_mark_blockwise(
-                self.state_tables_for(pid), ids_layout, state
-            )
+            tables = self.state_tables_for(pid)
+            sorted_t = self._maybe_sort_palettes(tables, ids_layout, state)
+            if sorted_t is not None:
+                tables = sorted_t
+            else:
+                tables = self._maybe_mark_blockwise(
+                    tables, ids_layout, state
+                )
         return state._replace(palette_id=pid, tables=tables)
 
     # ---------------------------------------------------------- blockwise auto
@@ -654,7 +676,11 @@ class SpectrogramPipeline:
         ):
             return tables  # forced/off, static, generic, or XLA colormap
         if ids is None:
-            if prev_state.tables and prev_state.tables[-1].ndim == 1:
+            if (
+                prev_state.tables
+                and prev_state.tables[-1].ndim == 1
+                and prev_state.tables[-1].size == 0
+            ):
                 return tables + (self._bw_marker(),)
             return tables
         s = prev_state.palette_id.shape[0]
@@ -663,33 +689,142 @@ class SpectrogramPipeline:
             return tables + (self._bw_marker(),)
         return tables
 
+    # ---------------------------------------------------------- palette sort
+    def _palette_sort_eligible(self, tables: tuple) -> bool:
+        """palette_sort engages only where the blockwise kernel exists: the
+        fused Pallas chain with the single-array built-in table registry."""
+        return (
+            self.palette_sort
+            and self.fused_chain
+            and self.colormap_backend == "pallas"
+            and self.static_table is None
+            and self.builtin_tables is not None
+            and len(tables) == 1
+        )
+
+    def _maybe_sort_palettes(self, tables: tuple, ids,
+                             prev_state: "StreamState"):
+        """(t_sorted, perm, inv) replacing a freshly picked 1-tuple when
+        palette_sort applies, else None.  `ids` is the concrete numpy id
+        layout or None (traced set_palette — the previous state's sortedness
+        is preserved by re-applying its permutation to the new tables, the
+        same class-preservation rule as the blockwise marker)."""
+        if not self._palette_sort_eligible(tables):
+            return None
+        sh = getattr(prev_state.palette_id, "sharding", None)
+        if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+            return None  # sharded state: a sort would cross shard slices
+        s = prev_state.palette_id.shape[0]
+        if ids is None:
+            pi = self._state_perm(prev_state)
+            if pi is None:
+                return None
+            perm, inv = pi
+            gp = self._global_perm(perm, s)
+            return (jnp.take(tables[0], gp, axis=0), perm, inv)
+        layout = np.broadcast_to(np.asarray(ids, np.int64), (s,))
+        if self._blockwise_auto_decision(layout):
+            return None  # already clustered: marker path, no gathers
+        return self._sorted_tables(tables, layout)
+
+    def _sorted_tables(self, tables: tuple, layout: np.ndarray):
+        """Stable per-sort-block argsort of a concrete scattered layout.
+        Sort blocks coincide with the stream blocks `_push_blocked` will
+        slice (so the stored BLOCK-RELATIVE perm/inv stay valid after
+        slicing); returns None when even the sorted layout fails the
+        blockwise economics (more distinct palettes than rows per colormap
+        block — gathers would buy nothing)."""
+        s = int(layout.shape[0])
+        bs = self._push_block_streams(s) or s
+        perm = np.empty(s, np.int32)
+        inv = np.empty(s, np.int32)
+        sorted_layout = np.empty_like(layout)
+        for b0 in range(0, s, bs):
+            b1 = min(b0 + bs, s)
+            p = np.argsort(layout[b0:b1], kind="stable").astype(np.int32)
+            perm[b0:b1] = p
+            inv[b0:b1][p] = np.arange(b1 - b0, dtype=np.int32)
+            sorted_layout[b0:b1] = layout[b0:b1][p]
+        if not self._blockwise_auto_decision(sorted_layout):
+            return None
+        gp = perm + (np.arange(s, dtype=np.int32) // bs).astype(np.int32) * bs
+        return (
+            jnp.take(tables[0], jnp.asarray(gp), axis=0),
+            jnp.asarray(perm),
+            jnp.asarray(inv),
+        )
+
+    @staticmethod
+    def _state_perm(state: "StreamState"):
+        """(perm, inv) when the state's tables are palette-sorted.  The
+        sorted tuple (t_sorted 2-D, perm 1-D size S, inv 1-D) is structurally
+        unambiguous: built-in states are 1-tuples (+ zero-size marker),
+        generic states 2-tuples — only sorted states have length 3."""
+        t = state.tables
+        if (
+            len(t) == 3
+            and t[1].ndim == 1 and t[1].size
+            and t[2].ndim == 1 and t[2].size
+        ):
+            return t[1], t[2]
+        return None
+
+    def _global_perm(self, perm: jax.Array, s: int) -> jax.Array:
+        """Block-relative perm -> global row indices (for table re-picks)."""
+        bs = self._push_block_streams(s) or s
+        off = (jnp.arange(s, dtype=jnp.int32) // bs) * bs
+        return off + perm
+
+    @staticmethod
+    def _row_perm(perm: jax.Array, s: int, k: int) -> jax.Array:
+        """Extend a [s]-stream permutation to the window-major [s*k] row
+        layout (row r*s + s_) the fused entry points emit."""
+        if k == 1:
+            return perm
+        off = jnp.arange(k, dtype=jnp.int32)[:, None] * s
+        return (off + perm[None, :]).reshape(-1)
+
     def restored_tables_for(self, palette_id) -> tuple:
         """state_tables_for + the blockwise-auto decision re-applied from
         CONCRETE ids — for checkpoint restore, where palette_id is real
         data (the persisted layout keeps its kernel class across a
         save/load cycle)."""
         tables = self.state_tables_for(jnp.asarray(palette_id, jnp.int32))
+        if not getattr(palette_id, "is_fully_addressable", True):
+            return tables
+        layout = np.asarray(palette_id, np.int64)
         if (
             self.blockwise_palettes == "auto"
             and len(tables) == 1
             and self.colormap_backend == "pallas"
-            and getattr(palette_id, "is_fully_addressable", True)
-            and self._blockwise_auto_decision(
-                np.asarray(palette_id, np.int64)
-            )
+            and self._blockwise_auto_decision(layout)
         ):
-            tables = tables + (self._bw_marker(),)
+            return tables + (self._bw_marker(),)
+        # palette_sort layout class survives a save/load cycle too: the
+        # persisted ids are concrete, so re-derive the sorted tuple (same
+        # precedence as set_palette: already-clustered layouts never sort).
+        if self._palette_sort_eligible(tables) and not (
+            self._blockwise_auto_decision(layout)
+        ):
+            sorted_t = self._sorted_tables(tables, layout)
+            if sorted_t is not None:
+                return sorted_t
         return tables
 
     def _state_blockwise(self, state: "StreamState") -> bool:
-        """Trace-time blockwise flag for this state: forced True, or the
-        auto marker present in the tables tuple."""
+        """Trace-time blockwise flag for this state: forced True, the auto
+        marker present in the tables tuple, or a palette-sorted state (whose
+        tables are clustered by construction — the sort only exists to feed
+        the blockwise kernel, independent of the blockwise_palettes knob)."""
         if self.blockwise_palettes is True:
+            return True
+        if self._state_perm(state) is not None:
             return True
         return (
             self.blockwise_palettes == "auto"
             and bool(state.tables)
             and state.tables[-1].ndim == 1
+            and state.tables[-1].size == 0
         )
 
     def state_tables_for(self, palette_id: jax.Array) -> tuple:
@@ -1040,9 +1175,22 @@ class SpectrogramPipeline:
             # index map (table_period) — no per-push pick, no k-expansion.
             tabs, static = self._state_tables(state), None
         bw = self._state_blockwise(state)
+        # palette_sort: permute the magnitude planes into sorted-stream
+        # order so the colormap runs on the clustered layout the state's
+        # tables were sorted for; the packed rows unpermute below.  Row
+        # order is window-major (r*S + s_) for every fused entry point, so
+        # one block-offset broadcast extends the stream perm to k windows.
+        # The ring update keeps the UNsorted planes (external row order).
+        pi = self._state_perm(state)
+        if pi is not None:
+            perm, inv = pi
+            cm_l = jnp.take(mag_l, self._row_perm(perm, s, k), axis=0)
+            cm_r = jnp.take(mag_r, self._row_perm(perm, s, k), axis=0)
+        else:
+            cm_l, cm_r = mag_l, mag_r
         if self.cmap_segments_full is not None:
             packed = cmap_kernel.colormap_planes_banded(
-                mag_l, mag_r, tabs, self.resample_t_full, cfg,
+                cm_l, cm_r, tabs, self.resample_t_full, cfg,
                 self.cmap_segments_full,
                 precision=self.precision_cmap,
                 interpret=self.kernel_interpret,
@@ -1052,13 +1200,15 @@ class SpectrogramPipeline:
             )                                                 # [S*k, H]
         else:
             packed = cmap_kernel.colormap_planes_builtin(
-                mag_l, mag_r, tabs, self.resample_t_full, cfg,
+                cm_l, cm_r, tabs, self.resample_t_full, cfg,
                 precision=self.precision_cmap,
                 interpret=self.kernel_interpret,
                 static_table=static,
                 table_period=s,
                 blockwise=bw,
             )                                                 # [S*k, H]
+        if pi is not None:
+            packed = jnp.take(packed, self._row_perm(inv, s, k), axis=0)
         if k > 1:
             packed = packed.reshape(k, s, -1).swapaxes(0, 1)  # [S, k, H]
         else:
@@ -1243,6 +1393,12 @@ class SpectrogramPipeline:
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
+        if self._state_perm(state) is not None:
+            # Sorted states keep their kernel tables in SORTED stream order
+            # for the push hot path; the ring is external-order, so re-pick
+            # unsorted tables from the ids here (occasional display path —
+            # the round-3 per-render pick cost is fine off the hot loop).
+            return self._colormap_u8(ordered, state.palette_id)
         return self._colormap_u8(
             ordered, state.palette_id, picked=self._state_tables(state),
             blockwise=self._state_blockwise(state),

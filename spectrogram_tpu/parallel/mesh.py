@@ -111,6 +111,12 @@ def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
     ([1, R*4], from a scalar set_palette) replicate — there is no stream
     axis to shard."""
     n_real = sum(1 for t in state.tables if t.ndim == 2)
+    if sum(1 for t in state.tables if t.ndim == 1 and t.size) >= 2:
+        raise ValueError(
+            "palette-sorted states cannot be sharded: the stored sort "
+            "permutation indexes across shard slices.  Shard the unsorted "
+            "state first — set_palette skips sorting on sharded states."
+        )
     ss = state_shardings(
         mesh, state.carry.ndim, n_real,
         bw_marker=len(state.tables) > n_real,

@@ -131,10 +131,11 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
         got = [x.shape for x in jax.tree.leaves(getattr(state, name))]
         want = [x.shape for x in jax.tree.leaves(getattr(expected, name))]
         if name == "tables":
-            # the zero-size blockwise-auto marker tracks the palette
-            # LAYOUT class, not geometry — exempt from the shape contract
-            got = [s_ for s_ in got if s_ != (0,)]
-            want = [s_ for s_ in want if s_ != (0,)]
+            # 1-D tables entries track the palette LAYOUT class, not
+            # geometry — the zero-size blockwise-auto marker and the
+            # palette-sort perm/inv vectors — exempt from the shape contract
+            got = [s_ for s_ in got if len(s_) != 1]
+            want = [s_ for s_ in want if len(s_) != 1]
         if got != want:
             raise ValueError(
                 f"checkpoint field {name} shape {got} != pipeline "

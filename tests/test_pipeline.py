@@ -738,3 +738,141 @@ def test_blockwise_marker_checkpoint_roundtrip(rng, tmp_path):
     s2p, o2p = p.push(s2, chunk)
     r2p, o2r = p.push(r2, chunk)
     np.testing.assert_array_equal(np.asarray(o2p), np.asarray(o2r))
+
+
+def test_palette_sort_matches_per_row(rng):
+    """palette_sort=True on a scattered concrete layout: the state carries
+    (t_sorted, perm, inv), pushes permute the magnitude planes through the
+    blockwise kernel and unpermute the packed rows — bitwise equal to the
+    plain per-row path, state and viewport included."""
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=True, viewport_rows=4)
+    S = 256  # two ts=128 colormap blocks after sorting
+    ids = (np.arange(S) % 2).astype(np.int32)  # alternating
+    p_ps = SpectrogramPipeline(CFG, palette_sort=True, **kw)
+    p_pr = SpectrogramPipeline(CFG, **kw)
+    s_ps = p_ps.set_palette(p_ps.init_state(S), ids)
+    s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
+    assert p_ps._state_perm(s_ps) is not None
+    assert p_ps._state_blockwise(s_ps)
+    assert p_pr._state_perm(s_pr) is None
+    for _ in range(2):
+        chunk = jnp.asarray(
+            rng.standard_normal((S, p_ps.chunk_size, 2)).astype(np.float32)
+            * 0.2
+        )
+        s_ps, o_ps = p_ps.push(s_ps, chunk)
+        s_pr, o_pr = p_pr.push(s_pr, chunk)
+        np.testing.assert_array_equal(np.asarray(o_ps), np.asarray(o_pr))
+    np.testing.assert_array_equal(
+        np.asarray(s_ps.carry), np.asarray(s_pr.carry)
+    )
+    # the ring stays external-order; the viewport re-picks unsorted tables
+    np.testing.assert_array_equal(
+        np.asarray(p_ps.render_viewport(s_ps)),
+        np.asarray(p_pr.render_viewport(s_pr)),
+    )
+    # traced set_palette preserves the sorted class (old perm, new tables)
+    import jax
+
+    ids2 = ((np.arange(S) + 1) % 2).astype(np.int32)
+    s_tr = jax.jit(lambda st, i: p_ps.set_palette(st, i))(s_ps, ids2)
+    assert p_ps._state_perm(s_tr) is not None
+    s_pr2 = p_pr.set_palette(s_pr, ids2)
+    chunk = jnp.asarray(
+        rng.standard_normal((S, p_ps.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    _, o_tr = p_ps.push(s_tr, chunk)
+    _, o_pr2 = p_pr.push(s_pr2, chunk)
+    np.testing.assert_array_equal(np.asarray(o_tr), np.asarray(o_pr2))
+    # scalar set_palette drops to uniform mode (no perm)
+    s_u = p_ps.set_palette(s_ps, 2)
+    assert p_ps._state_perm(s_u) is None and s_u.tables[0].shape[0] == 1
+
+
+def test_palette_sort_policy_gates(rng):
+    """The sort engages only where it pays: concrete scattered layouts whose
+    SORTED form passes the blockwise economics; clustered layouts keep the
+    marker path; ineligible pipelines and too-many-distinct-palette layouts
+    stay unsorted."""
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    S = 256
+    p = SpectrogramPipeline(CFG, palette_sort=True, **kw)
+    # clustered input: marker, not sort (no gathers for already-good layouts)
+    s_cl = p.set_palette(
+        p.init_state(S),
+        jnp.asarray((np.arange(S) // 128).astype(np.int32)),
+    )
+    assert p._state_perm(s_cl) is None and p._state_blockwise(s_cl)
+    # scattered with as many palettes as streams in a block: sorted layout
+    # still fails the >=50% uniform-block economics -> refuse to sort
+    wild = jnp.asarray((np.arange(S) % len(p.schemes)).astype(np.int32))
+    s_wild = p.set_palette(p.init_state(S), wild)
+    assert p._state_perm(s_wild) is None
+    # default pipelines never sort
+    p_off = SpectrogramPipeline(CFG, **kw)
+    s_off = p_off.set_palette(
+        p_off.init_state(S), jnp.asarray((np.arange(S) % 2).astype(np.int32))
+    )
+    assert p_off._state_perm(s_off) is None
+
+
+def test_palette_sort_blocked_uneven_tail(rng):
+    """palette_sort composes with stream-blocked pushes: the stored perm is
+    BLOCK-relative (sort blocks = the push's stream blocks, uneven tail
+    included), so the blocked slicing leaves every sub-push self-consistent.
+    Bitwise vs the flat per-row pipeline."""
+    kw = dict(chunk_hops=4, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    S, BS = 600, 256  # blocks 256 + 256 + 88
+    ids = (np.arange(S) % 2).astype(np.int32)
+    p_ps = SpectrogramPipeline(CFG, palette_sort=True, stream_blocks=BS,
+                               **kw)
+    p_pr = SpectrogramPipeline(CFG, **kw)
+    s_ps = p_ps.set_palette(p_ps.init_state(S), ids)
+    s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
+    assert p_ps._state_perm(s_ps) is not None
+    perm = np.asarray(s_ps.tables[1])
+    assert perm.shape == (S,)
+    # block-relative: every entry indexes within its own block
+    assert perm[:256].max() < 256 and perm[512:].max() < 88
+    chunk = jnp.asarray(
+        rng.standard_normal((S, p_ps.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    s_ps, o_ps = p_ps.push(s_ps, chunk)
+    s_pr, o_pr = p_pr.push(s_pr, chunk)
+    np.testing.assert_array_equal(np.asarray(o_ps), np.asarray(o_pr))
+    np.testing.assert_array_equal(
+        np.asarray(s_ps.carry), np.asarray(s_pr.carry)
+    )
+
+
+def test_palette_sort_checkpoint_roundtrip(rng, tmp_path):
+    """npz save/load re-derives the sorted tuple from the persisted concrete
+    ids (same stable argsort) — the layout class and the pushed bytes
+    survive the cycle."""
+    from spectrogram_tpu.utils.checkpoint import load_state, save_state
+
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=True, viewport_rows=4)
+    S = 256
+    p = SpectrogramPipeline(CFG, palette_sort=True, **kw)
+    s = p.set_palette(
+        p.init_state(S), jnp.asarray((np.arange(S) % 2).astype(np.int32))
+    )
+    chunk = jnp.asarray(
+        rng.standard_normal((S, p.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    s, _ = p.push(s, chunk)
+    assert p._state_perm(s) is not None
+    save_state(tmp_path / "ck.npz", s, p.cfg, pipeline=p)
+    r = load_state(tmp_path / "ck.npz", p)
+    assert p._state_perm(r) is not None
+    s2, o_s = p.push(s, chunk)
+    r2, o_r = p.push(r, chunk)
+    np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_r))
