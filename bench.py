@@ -80,6 +80,11 @@ def main() -> None:
         blockwise_palettes={"0": False, "1": True}.get(
             os.environ.get("BENCH_BLOCKWISE", "auto"), "auto"
         ),
+        # BENCH_PALETTE_SORT=1: opt into the round-4-late palette sort —
+        # scattered per-stream layouts argsort at set_palette into the
+        # blockwise kernel (sorted-carry streaming mode).  Off for the
+        # headline (which measures the untouched scattered cost).
+        palette_sort=os.environ.get("BENCH_PALETTE_SORT", "0") == "1",
     )
 
     rng = np.random.default_rng(0)

@@ -50,6 +50,9 @@ clustered = np.sort(scattered)
 CASES = {
     "per_row": (make(blockwise_palettes=False), scattered),
     "sorted": (make(palette_sort=True), scattered),
+    # sorted_out: rows leave the device in sorted order (host drain
+    # reindexes via output_perm) — measures the serving-mode ceiling
+    "sorted_out": (make(palette_sort=True, sorted_output=True), scattered),
     "clustered": (make(), clustered),
 }
 
