@@ -57,6 +57,13 @@ def main() -> None:
         "(for relay-tunneled dev TPUs whose D2H is ~1000x slower than a "
         "production host's; rows stay on device)",
     )
+    ap.add_argument(
+        "--palette-sort", action="store_true", dest="palette_sort",
+        help="multi-tenant scattered palettes: stable-argsort the layout "
+        "at set_palette into the blockwise colormap kernel (sorted-carry "
+        "streaming mode + sorted_output: rows leave the device in sorted "
+        "order, the drain reindexes via pipeline.output_perm — round 4)",
+    )
     args = ap.parse_args()
 
     cfg = SpectrogramConfig(
@@ -65,7 +72,8 @@ def main() -> None:
         hop_period=800 / 48_000.0,  # 60 rows/s/stream
     )
     pipeline = SpectrogramPipeline(
-        cfg, chunk_hops=1, store_ring=False, packed_output=True
+        cfg, chunk_hops=1, store_ring=False, packed_output=True,
+        palette_sort=args.palette_sort, sorted_output=args.palette_sort,
     )
     s = args.streams
     bank = RingBank16(s, capacity=8192)
@@ -100,6 +108,16 @@ def main() -> None:
         up = args.uniform_palette
         pid = int(up) if up.lstrip("-").isdigit() else scheme_index(up)
         state0 = pipeline.set_palette(state0, pid)  # scalar -> uniform mode
+    elif args.palette_sort:
+        # worst-case multi-tenant layout: every neighbor a different palette
+        state0 = pipeline.set_palette(
+            state0, (np.arange(s) % 19).astype(np.int32)
+        )
+        op = pipeline.output_perm(state0)
+        print(
+            f"palette_sort: engaged={op is not None} "
+            f"(drain indexes rows via output_perm)", flush=True,
+        )
     feeder = DeviceFeeder(
         pipeline, state0, depth=2, planar=True,
         readback="probe" if args.probe_readback else "full",

@@ -104,6 +104,7 @@ class SpectrogramPipeline:
         blockwise_palettes="auto",
         stream_blocks="auto",
         palette_sort: bool = False,
+        sorted_output: bool = False,
     ):
         cfg.validate()
         self.cfg = cfg
@@ -347,6 +348,26 @@ class SpectrogramPipeline:
         # NOT supported under parallel.mesh sharding (a global sort crosses
         # shard boundaries) — sharded states are never sorted.
         self.palette_sort = bool(palette_sort)
+        # Sorted-carry fast mode (streaming configs, store_ring=False): the
+        # CARRY lives in sorted stream order (permuted once at set_palette),
+        # so the mag planes come out of the STFT already sorted — the two
+        # per-push [S, half] mag takes (measured 0.55 ms each at 10,240 on
+        # v5e, exp_permute_gather) never exist.  Per push only the incoming
+        # chunk is permuted (a gather XLA can fuse into the framing concat
+        # copy) and the packed rows unpermuted.  Ring mode keeps the
+        # mag-bridge (the ring must stay external-order for the viewport).
+        self.carry_sort_mode = self.palette_sort and not self.store_ring
+        # sorted_output (opt-in, requires palette_sort): emit the packed
+        # rows in SORTED stream order and let the host drain reindex via
+        # `output_perm(state)` — deletes the device-side output unpermute
+        # (a [S, H] i32 row take, ~0.34 ms at 10,240 streams) for serving
+        # loops that scatter rows per stream on the host anyway.  The
+        # consumer contract: `out[output_perm(state)[s_]]` is stream s_'s
+        # rows whenever output_perm(state) is not None (unsorted states
+        # stay external-order with output_perm None).
+        if sorted_output and not palette_sort:
+            raise ValueError("sorted_output requires palette_sort=True")
+        self.sorted_output = bool(sorted_output)
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
         if self.stft_lane_pad:
             resample_full_t = self._pad_resample_rows(resample_full_t)
@@ -622,7 +643,10 @@ class SpectrogramPipeline:
                 tables = self._maybe_mark_blockwise(
                     tables, ids_layout, state
                 )
-        return state._replace(palette_id=pid, tables=tables)
+        return state._replace(
+            palette_id=pid, tables=tables,
+            carry=self._resorted_carry(state, tables),
+        )
 
     # ---------------------------------------------------------- blockwise auto
     @staticmethod
@@ -755,12 +779,11 @@ class SpectrogramPipeline:
         )
 
     @staticmethod
-    def _state_perm(state: "StreamState"):
-        """(perm, inv) when the state's tables are palette-sorted.  The
-        sorted tuple (t_sorted 2-D, perm 1-D size S, inv 1-D) is structurally
+    def _tables_perm(t: tuple):
+        """(perm, inv) when a tables tuple is palette-sorted.  The sorted
+        tuple (t_sorted 2-D, perm 1-D size S, inv 1-D) is structurally
         unambiguous: built-in states are 1-tuples (+ zero-size marker),
         generic states 2-tuples — only sorted states have length 3."""
-        t = state.tables
         if (
             len(t) == 3
             and t[1].ndim == 1 and t[1].size
@@ -769,11 +792,49 @@ class SpectrogramPipeline:
             return t[1], t[2]
         return None
 
+    def _state_perm(self, state: "StreamState"):
+        return self._tables_perm(state.tables)
+
+    def _resorted_carry(self, prev_state: "StreamState",
+                        new_tables: tuple) -> jax.Array:
+        """Carry-sort mode: keep the carry's stream order consistent with
+        the tables tuple across set_palette transitions — unpermute back to
+        external order when leaving the sorted class, (re-)permute when
+        entering or changing layouts.  Identity transitions (traced
+        set_palette preserving the same perm arrays) skip both takes."""
+        carry = prev_state.carry
+        if not self.carry_sort_mode:
+            return carry
+        old = self._state_perm(prev_state)
+        new = self._tables_perm(new_tables)
+        if old is not None and new is not None and old[0] is new[0]:
+            return carry
+        s = prev_state.palette_id.shape[0]
+        if old is not None:
+            carry = jnp.take(carry, self._global_perm(old[1], s), axis=0)
+        if new is not None:
+            carry = jnp.take(carry, self._global_perm(new[0], s), axis=0)
+        return carry
+
     def _global_perm(self, perm: jax.Array, s: int) -> jax.Array:
         """Block-relative perm -> global row indices (for table re-picks)."""
         bs = self._push_block_streams(s) or s
         off = (jnp.arange(s, dtype=jnp.int32) // bs) * bs
         return off + perm
+
+    def output_perm(self, state: "StreamState"):
+        """Host-side row index for `sorted_output` pipelines: when not None,
+        `out[output_perm(state)[s_]]` is external stream s_'s rows in the
+        push output (and rows arrive in sorted order otherwise identical).
+        None whenever the state is unsorted — the output is then already
+        external-order.  Returns numpy (the drain layer indexes host rows)."""
+        if not self.sorted_output:
+            return None
+        pi = self._state_perm(state)
+        if pi is None:
+            return None
+        s = state.palette_id.shape[0]
+        return np.asarray(self._global_perm(pi[1], s))
 
     @staticmethod
     def _row_perm(perm: jax.Array, s: int, k: int) -> jax.Array:
@@ -971,6 +1032,15 @@ class SpectrogramPipeline:
     def _push_one_block(self, state: StreamState, chunk_pl: jax.Array):
         cfg = self.cfg
         k = self.chunk_hops
+        if self.carry_sort_mode:
+            # Sorted-carry fast mode: the carry is at rest in sorted order;
+            # permute the incoming chunk to match (one gather XLA fuses
+            # into the framing concat) — the mag planes then come out of
+            # the STFT already sorted, no per-push mag takes.  perm is
+            # block-relative, which IS this block's local index space.
+            pi = self._state_perm(state)
+            if pi is not None:
+                chunk_pl = jnp.take(chunk_pl, pi[0], axis=0)
         if self.tsplit_framing:
             return self._push_fused_tsplit(state, chunk_pl)
         if self.carry_transposed:
@@ -1182,11 +1252,13 @@ class SpectrogramPipeline:
         # one block-offset broadcast extends the stream perm to k windows.
         # The ring update keeps the UNsorted planes (external row order).
         pi = self._state_perm(state)
-        if pi is not None:
+        if pi is not None and not self.carry_sort_mode:
             perm, inv = pi
             cm_l = jnp.take(mag_l, self._row_perm(perm, s, k), axis=0)
             cm_r = jnp.take(mag_r, self._row_perm(perm, s, k), axis=0)
         else:
+            # carry-sort mode: the planes arrive pre-sorted (sorted carry +
+            # permuted chunk) — only the packed rows unpermute below.
             cm_l, cm_r = mag_l, mag_r
         if self.cmap_segments_full is not None:
             packed = cmap_kernel.colormap_planes_banded(
@@ -1207,8 +1279,8 @@ class SpectrogramPipeline:
                 table_period=s,
                 blockwise=bw,
             )                                                 # [S*k, H]
-        if pi is not None:
-            packed = jnp.take(packed, self._row_perm(inv, s, k), axis=0)
+        if pi is not None and not self.sorted_output:
+            packed = jnp.take(packed, self._row_perm(pi[1], s, k), axis=0)
         if k > 1:
             packed = packed.reshape(k, s, -1).swapaxes(0, 1)  # [S, k, H]
         else:

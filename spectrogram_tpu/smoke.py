@@ -30,6 +30,10 @@ Classes pinned here (each exercises a distinct compile path):
   blockwise_auto — blockwise_palettes="auto": clustered layout takes the
                   scalar-prefetch blockwise kernel (marker present),
                   scattered stays per-row; bitwise vs blockwise=False
+  palette_sort  — sorted-carry streaming mode: scattered layout argsorted
+                  at set_palette, permuted-chunk push through the
+                  blockwise kernel, unpermuted packed rows; bitwise vs
+                  the per-row pipeline
   viewport      — ring render + GL-law width rescale matmul
   xla_parity    — classes 'flip' and 'lane_pad' vs the XLA-composed
                   backends on the same chunk (<= 1 u8)
@@ -282,6 +286,34 @@ def class_blockwise_auto(rng):
     )
 
 
+def class_palette_sort(rng):
+    """palette_sort=True, sorted-carry streaming mode (round 4 late): a
+    scattered layout sorts at set_palette, the push runs permuted-chunk ->
+    sorted STFT -> blockwise colormap -> unpermuted packed rows.  Bitwise
+    vs the per-row pipeline on the same ids."""
+    import jax.numpy as jnp
+
+    s = _n_streams(256)
+    ids = (np.arange(s) % 2).astype(np.int32)  # alternating: scattered
+    p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+            packed_output=True, palette_sort=True)
+    assert p.carry_sort_mode
+    st = p.set_palette(p.init_state(s), ids)
+    if s >= 256:
+        assert p._state_perm(st) is not None, "sort did not engage"
+    p_pr = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+               packed_output=True, blockwise_palettes=False)
+    st_pr = p_pr.set_palette(p_pr.init_state(s), ids)
+    out = out_pr = None
+    for _ in range(2):
+        chunk = jnp.asarray(_mk_chunk(rng, s, p))
+        st, out = p.push(st, chunk)
+        st_pr, out_pr = p_pr.push(st_pr, chunk)
+    assert (np.asarray(out) == np.asarray(out_pr)).all(), (
+        "palette_sort output differs from the per-row kernel"
+    )
+
+
 def class_viewport(rng):
     p = _pl(_cfg_bench(), chunk_hops=8, viewport_rows=64)
     state, _ = _push_twice(p, 16, rng)
@@ -325,6 +357,7 @@ CLASSES = (
     ("tsplit", class_tsplit),
     ("k1", class_k1),
     ("blockwise_auto", class_blockwise_auto),
+    ("palette_sort", class_palette_sort),
     ("viewport", class_viewport),
     ("xla_parity", class_xla_parity),
 )

@@ -56,9 +56,25 @@ def save_state(
     geometry (plus chunk_hops/viewport_rows when `pipeline` is given)."""
     path = pathlib.Path(path)
     host = jax.device_get(state)
+    carry = np.asarray(host.carry)
+    # Palette-sorted states: checkpoints always persist the EXTERNAL stream
+    # order (portable across palette_sort settings).  In carry-sort mode
+    # (streaming pipelines) the carry is at rest in sorted order — undo the
+    # stored block-relative permutation before writing.
+    perm = SpectrogramPipeline._tables_perm(state.tables)
+    if perm is not None and getattr(pipeline, "carry_sort_mode", None) is None:
+        raise ValueError(
+            "saving a palette-sorted state requires pipeline= (the carry "
+            "order on disk depends on the pipeline's carry_sort_mode)"
+        )
+    if perm is not None and pipeline.carry_sort_mode:
+        ginv = np.asarray(
+            pipeline._global_perm(perm[1], carry.shape[0])
+        )
+        carry = carry[ginv]
     np.savez_compressed(
         path.with_suffix(".npz"),
-        carry=np.asarray(host.carry),
+        carry=carry,
         ring=np.asarray(host.ring, dtype=np.float32),  # bf16 -> f32 container
         cursor=np.asarray(host.cursor),
         palette_id=np.asarray(host.palette_id),
@@ -109,6 +125,15 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
         s_, _, n1_, cm = carry.shape
         carry = carry.swapaxes(2, 3).reshape(s_, 2, n1_ * cm)
     palette_id = jnp.asarray(z["palette_id"])
+    tables = pipeline.restored_tables_for(palette_id)
+    # carry-sort pipelines keep the carry at rest in sorted order; the
+    # checkpoint stores external order, so re-apply the (deterministic)
+    # permutation the restored tables carry.
+    perm = SpectrogramPipeline._tables_perm(tables)
+    if perm is not None and pipeline.carry_sort_mode:
+        carry = np.asarray(
+            carry[np.asarray(pipeline._global_perm(perm[0], carry.shape[0]))]
+        )
     state = StreamState(
         carry=jnp.asarray(carry),
         ring=jnp.asarray(z["ring"]).astype(ring_dtype),
@@ -118,9 +143,9 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
         # kernel tables are DERIVED state (palette_id x the restoring
         # pipeline's registry) — recomputed, never persisted, so a
         # checkpoint restores cleanly into a pipeline with different
-        # schemes; the blockwise-auto marker is re-decided from the
-        # restored (concrete) layout
-        tables=pipeline.restored_tables_for(palette_id),
+        # schemes; the blockwise-auto marker and the palette-sort class
+        # are re-decided from the restored (concrete) layout
+        tables=tables,
     )
     import functools
 
@@ -154,6 +179,11 @@ def save_sharded(
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(path).resolve()
+    if SpectrogramPipeline._tables_perm(state.tables) is not None:
+        raise ValueError(
+            "palette-sorted states are single-process (never sharded): "
+            "save with save_state, which persists the external carry order"
+        )
     payload = state._asdict()
     # kernel tables are derived (palette_id x scheme registry): recomputed
     # on load, never persisted — keeps checkpoints portable across registry

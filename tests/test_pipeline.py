@@ -846,9 +846,55 @@ def test_palette_sort_blocked_uneven_tail(rng):
     s_ps, o_ps = p_ps.push(s_ps, chunk)
     s_pr, o_pr = p_pr.push(s_pr, chunk)
     np.testing.assert_array_equal(np.asarray(o_ps), np.asarray(o_pr))
+    # store_ring=False -> carry-sort mode: the carry is at rest in sorted
+    # order; compare through the stored (block-relative) inverse
+    assert p_ps.carry_sort_mode
+    ginv = np.asarray(p_ps._global_perm(s_ps.tables[2], S))
+    np.testing.assert_array_equal(
+        np.asarray(s_ps.carry)[ginv], np.asarray(s_pr.carry)
+    )
+
+
+def test_palette_sort_carry_mode_transitions(rng):
+    """Sorted-carry mode (store_ring=False): set_palette keeps the carry's
+    order consistent with the tables across every transition — external ->
+    sorted, sorted -> re-sorted (new layout), sorted -> uniform (back to
+    external) — with pushes bitwise vs the per-row pipeline throughout."""
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    S = 256
+    p_ps = SpectrogramPipeline(CFG, palette_sort=True, **kw)
+    p_pr = SpectrogramPipeline(CFG, blockwise_palettes=False, **kw)
+    assert p_ps.carry_sort_mode
+    ids_a = (np.arange(S) % 2).astype(np.int32)
+    ids_b = ((np.arange(S) // 2) % 2).astype(np.int32)  # different scatter
+
+    def step(s_ps, s_pr):
+        chunk = jnp.asarray(
+            rng.standard_normal((S, p_ps.chunk_size, 2)).astype(np.float32)
+            * 0.2
+        )
+        s_ps, o_ps = p_ps.push(s_ps, chunk)
+        s_pr, o_pr = p_pr.push(s_pr, chunk)
+        np.testing.assert_array_equal(np.asarray(o_ps), np.asarray(o_pr))
+        return s_ps, s_pr
+
+    s_ps = p_ps.set_palette(p_ps.init_state(S), ids_a)  # external -> sorted
+    s_pr = p_pr.set_palette(p_pr.init_state(S), ids_a)
+    assert p_ps._state_perm(s_ps) is not None
+    s_ps, s_pr = step(s_ps, s_pr)
+    s_ps = p_ps.set_palette(s_ps, ids_b)  # sorted -> re-sorted
+    s_pr = p_pr.set_palette(s_pr, ids_b)
+    assert p_ps._state_perm(s_ps) is not None
+    s_ps, s_pr = step(s_ps, s_pr)
+    s_ps = p_ps.set_palette(s_ps, 3)  # sorted -> uniform: carry external
+    s_pr = p_pr.set_palette(s_pr, np.full(S, 3, np.int32))
+    assert p_ps._state_perm(s_ps) is None
     np.testing.assert_array_equal(
         np.asarray(s_ps.carry), np.asarray(s_pr.carry)
     )
+    s_ps, s_pr = step(s_ps, s_pr)
 
 
 def test_palette_sort_checkpoint_roundtrip(rng, tmp_path):
@@ -876,3 +922,82 @@ def test_palette_sort_checkpoint_roundtrip(rng, tmp_path):
     s2, o_s = p.push(s, chunk)
     r2, o_r = p.push(r, chunk)
     np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_r))
+
+
+def test_palette_sort_carry_mode_checkpoint(rng, tmp_path):
+    """Carry-mode checkpoints persist the EXTERNAL carry order: a sorted
+    streaming state round-trips through npz into (a) the same carry-sort
+    pipeline and (b) a plain per-row pipeline, pushing identical bytes."""
+    from spectrogram_tpu.utils.checkpoint import load_state, save_state
+
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    S = 256
+    p = SpectrogramPipeline(CFG, palette_sort=True, **kw)
+    p_pr = SpectrogramPipeline(CFG, blockwise_palettes=False, **kw)
+    s = p.set_palette(
+        p.init_state(S), (np.arange(S) % 2).astype(np.int32)
+    )
+    chunk = jnp.asarray(
+        rng.standard_normal((S, p.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    s, _ = p.push(s, chunk)
+    assert p._state_perm(s) is not None and p.carry_sort_mode
+    import pytest
+
+    with pytest.raises(ValueError, match="palette-sorted"):
+        save_state(tmp_path / "nope.npz", s, p.cfg)  # pipeline required
+    save_state(tmp_path / "ck.npz", s, p.cfg, pipeline=p)
+    r = load_state(tmp_path / "ck.npz", p)
+    assert p._state_perm(r) is not None
+    s2, o_s = p.push(s, chunk)
+    r2, o_r = p.push(r, chunk)
+    np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_r))
+    # restore into a per-row pipeline: external carry, same bytes
+    r_pr = load_state(tmp_path / "ck.npz", p_pr)
+    assert p_pr._state_perm(r_pr) is None
+    _, o_pr = p_pr.push(r_pr, chunk)
+    np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_pr))
+
+
+def test_palette_sort_sorted_output(rng):
+    """sorted_output=True: rows arrive in sorted stream order; host
+    reindexing through output_perm(state) reproduces the external-order
+    output bitwise.  Unsorted states emit external order (perm None)."""
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    S = 256
+    ids = (np.arange(S) % 2).astype(np.int32)
+    p_so = SpectrogramPipeline(CFG, palette_sort=True, sorted_output=True,
+                               **kw)
+    p_pr = SpectrogramPipeline(CFG, blockwise_palettes=False, **kw)
+    import pytest
+
+    with pytest.raises(ValueError, match="sorted_output requires"):
+        SpectrogramPipeline(CFG, sorted_output=True, **kw)
+    s_so = p_so.set_palette(p_so.init_state(S), ids)
+    s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
+    op = p_so.output_perm(s_so)
+    assert op is not None and op.shape == (S,)
+    for _ in range(2):
+        chunk = jnp.asarray(
+            rng.standard_normal((S, p_so.chunk_size, 2)).astype(np.float32)
+            * 0.2
+        )
+        s_so, o_so = p_so.push(s_so, chunk)
+        s_pr, o_pr = p_pr.push(s_pr, chunk)
+        np.testing.assert_array_equal(
+            np.asarray(o_so)[p_so.output_perm(s_so)], np.asarray(o_pr)
+        )
+    # uniform (unsorted) states: external order, no perm
+    s_u = p_so.set_palette(s_so, 1)
+    assert p_so.output_perm(s_u) is None
+    chunk = jnp.asarray(
+        rng.standard_normal((S, p_so.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    s_u, o_u = p_so.push(s_u, chunk)
+    s_pr2 = p_pr.set_palette(s_pr, np.full(S, 1, np.int32))
+    _, o_pr2 = p_pr.push(s_pr2, chunk)
+    np.testing.assert_array_equal(np.asarray(o_u), np.asarray(o_pr2))
