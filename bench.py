@@ -80,11 +80,14 @@ def main() -> None:
         blockwise_palettes={"0": False, "1": True}.get(
             os.environ.get("BENCH_BLOCKWISE", "auto"), "auto"
         ),
-        # BENCH_PALETTE_SORT=1: opt into the round-4-late palette sort —
-        # scattered per-stream layouts argsort at set_palette into the
-        # blockwise kernel (sorted-carry streaming mode).  Off for the
-        # headline (which measures the untouched scattered cost).
-        palette_sort=os.environ.get("BENCH_PALETTE_SORT", "0") == "1",
+        # BENCH_PALETTE_SORT: the round-4-late palette sort — scattered
+        # per-stream layouts argsort at set_palette into the blockwise
+        # kernel (sorted-carry streaming mode).  Default follows the
+        # library default (ON, measured +13% at 10,240 scattered on v5e);
+        # set 0 to measure the raw per-row scattered cost.  The 4096-
+        # stream headline is identical either way: 19 palettes sort into
+        # ~215-stream runs there and the blockwise economics gate refuses.
+        palette_sort=os.environ.get("BENCH_PALETTE_SORT", "1") == "1",
     )
 
     rng = np.random.default_rng(0)

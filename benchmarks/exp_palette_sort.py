@@ -48,13 +48,25 @@ scattered = (np.arange(S) % N_P).astype(np.int32)
 clustered = np.sort(scattered)
 
 CASES = {
-    "per_row": (make(blockwise_palettes=False), scattered),
+    # palette_sort defaults ON since the sorted-carry measurement — pin it
+    # OFF for the per-row baseline (blockwise off alone no longer disables
+    # the sort)
+    "per_row": (make(blockwise_palettes=False, palette_sort=False),
+                scattered),
     "sorted": (make(palette_sort=True), scattered),
     # sorted_out: rows leave the device in sorted order (host drain
     # reindexes via output_perm) — measures the serving-mode ceiling
     "sorted_out": (make(palette_sort=True, sorted_output=True), scattered),
     "clustered": (make(), clustered),
 }
+if S >= 12288:
+    # At stream-blocked populations the auto policy blocks at 4096 streams,
+    # where a 19-palette per-block sort fails the blockwise economics — so
+    # "sorted" above silently measures the BLOCKED PER-ROW push.  The flat
+    # variant keeps the global sort alive: does sort-without-blocking beat
+    # block-without-sorting past the scoped-memory crossover?
+    CASES["sorted_flat"] = (make(palette_sort=True, stream_blocks=0),
+                            scattered)
 
 
 def bench(p, ids, label):
@@ -91,7 +103,9 @@ print("parity: per_row set_palette...", flush=True)
 s0 = p0.set_palette(p0.init_state(S), ids0)
 print("parity: per_row push compile...", flush=True)
 _, r0 = jax.jit(p0.push_impl)(s0, CHUNK)
-ps, _ = CASES["sorted"]
+# at S >= 12,288 "sorted" is auto-blocked and refuses to sort — parity-
+# check the case where the sort actually engages
+ps, _ = CASES.get("sorted_flat", CASES["sorted"])
 print("parity: sorted set_palette...", flush=True)
 ss = ps.set_palette(ps.init_state(S), ids0)
 assert ps._state_perm(ss) is not None, "sort did not engage"

@@ -103,7 +103,7 @@ class SpectrogramPipeline:
         framing: str = "auto",
         blockwise_palettes="auto",
         stream_blocks="auto",
-        palette_sort: bool = False,
+        palette_sort: bool = True,
         sorted_output: bool = False,
     ):
         cfg.validate()
@@ -332,7 +332,11 @@ class SpectrogramPipeline:
             raise ValueError(f"stream_blocks must be 'auto' or int, got "
                              f"{stream_blocks!r}")
         self.stream_blocks = stream_blocks
-        # palette_sort (round 4 late, opt-in pending hardware measurement):
+        # palette_sort (round 4 late; DEFAULT ON since measured on v5e —
+        # exp_palette_sort at 10,240 scattered streams: per-row 7.670 ms ->
+        # sorted-carry 6.787 (+13%, bitwise), vs the clustered ceiling
+        # 6.255; engagement is fully self-gating below, so ineligible /
+        # uneconomic layouts are untouched):
         # for SCATTERED per-stream palette layouts — where blockwise_palettes
         # can't help and the colormap pays per-row LUT broadcasts — a stable
         # argsort of the palette ids at set_palette time makes any layout
@@ -835,6 +839,26 @@ class SpectrogramPipeline:
             return None
         s = state.palette_id.shape[0]
         return np.asarray(self._global_perm(pi[1], s))
+
+    def unsort_state(self, state: "StreamState") -> "StreamState":
+        """Return `state` in external stream order with the palette sort
+        dropped (identity for unsorted states): the per-stream tables fall
+        back to the plain per-row 1-tuple and, in carry-sort mode, the
+        carry unpermutes.  Use before `parallel.mesh.shard_state` — the
+        stored block-relative permutation cannot cross shard slices, and
+        set_palette never re-sorts a sharded state."""
+        pi = self._state_perm(state)
+        if pi is None:
+            return state
+        _, inv = pi
+        s = state.palette_id.shape[0]
+        g_inv = self._global_perm(inv, s)
+        carry = state.carry
+        if self.carry_sort_mode:
+            carry = jnp.take(carry, g_inv, axis=0)
+        return state._replace(
+            carry=carry, tables=(jnp.take(state.tables[0], g_inv, axis=0),)
+        )
 
     @staticmethod
     def _row_perm(perm: jax.Array, s: int, k: int) -> jax.Array:

@@ -106,17 +106,26 @@ def rgba_sharding(mesh: Mesh, packed: bool = False) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
-def shard_state(state: StreamState, mesh: Mesh) -> StreamState:
+def shard_state(
+    state: StreamState, mesh: Mesh, pipeline: SpectrogramPipeline | None = None
+) -> StreamState:
     """Place an (unsharded) state onto the mesh.  Uniform-palette tables
     ([1, R*4], from a scalar set_palette) replicate — there is no stream
-    axis to shard."""
-    n_real = sum(1 for t in state.tables if t.ndim == 2)
+    axis to shard.  Palette-sorted states (palette_sort defaults on) are
+    de-sorted first when `pipeline` is passed — the stored block-relative
+    permutation cannot cross shard slices; once sharded, set_palette never
+    re-sorts."""
     if sum(1 for t in state.tables if t.ndim == 1 and t.size) >= 2:
-        raise ValueError(
-            "palette-sorted states cannot be sharded: the stored sort "
-            "permutation indexes across shard slices.  Shard the unsorted "
-            "state first — set_palette skips sorting on sharded states."
-        )
+        if pipeline is None:
+            raise ValueError(
+                "palette-sorted states cannot be sharded: the stored sort "
+                "permutation indexes across shard slices.  Pass the "
+                "pipeline (shard_state(state, mesh, pipeline)) or call "
+                "pipeline.unsort_state(state) first — set_palette skips "
+                "sorting on sharded states."
+            )
+        state = pipeline.unsort_state(state)
+    n_real = sum(1 for t in state.tables if t.ndim == 2)
     ss = state_shardings(
         mesh, state.carry.ndim, n_real,
         bw_marker=len(state.tables) > n_real,
@@ -145,14 +154,43 @@ def sharded_init(
     )()
 
 
-def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh):
+def _state_tables_specs(tables: tuple) -> tuple:
+    """P specs for a CONCRETE state's tables tuple: per-stream [S, R*4]
+    tables shard over streams; uniform [1, R*4] tables and the zero-size
+    blockwise marker replicate.  Palette-sorted states (two block-relative
+    perm/inv leaves) cannot be sharded — unsort first (`shard_state(state,
+    mesh, pipeline)` or `pipeline.unsort_state`)."""
+    if sum(1 for t in tables if t.ndim == 1 and t.size) >= 2:
+        raise ValueError(
+            "palette-sorted states cannot be sharded: the stored sort "
+            "permutation indexes across shard slices.  Unsort first — "
+            "shard_state(state, mesh, pipeline) or pipeline.unsort_state."
+        )
+    return tuple(
+        P(STREAM_AXIS, None) if t.ndim == 2 and t.shape[0] != 1 else P()
+        for t in tables
+    )
+
+
+def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh,
+                 state: StreamState | None = None):
     """jit-compiled push with stream-axis sharding constraints.
 
     Returns step(state, chunk) -> (state, rgba_u8).  The stream count must be
     divisible by mesh size.  State is donated: the ring never leaves HBM.
-    """
+
+    Pass `state` when its palette layout class differs from init_state's —
+    e.g. a scattered per-stream layout dropped the blockwise-auto marker,
+    or a scalar set_palette produced replicated uniform tables — so the
+    table shardings follow the concrete tuple instead of the init-class
+    assumption."""
     ss = state_shardings(mesh, _carry_ndim(pipeline), _n_tables(pipeline),
                          bw_marker=_auto_marker(pipeline))
+    if state is not None:
+        ss = ss._replace(tables=tuple(
+            NamedSharding(mesh, spec)
+            for spec in _state_tables_specs(state.tables)
+        ))
     return jax.jit(
         pipeline.push_impl,
         in_shardings=(ss, chunk_sharding(mesh)),
@@ -161,21 +199,28 @@ def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh):
     )
 
 
-def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh):
+def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh,
+                   state: StreamState | None = None):
     """Explicit SPMD push: each chip runs the pipeline on its stream shard;
     a psum over ICI aggregates the global row counter (the only collective).
 
     Returns step(state, chunk) -> (state, rgba_u8, global_rows).
-    """
+
+    Like `sharded_push`, pass `state` when its palette layout class differs
+    from init_state's (scattered layouts without the blockwise marker,
+    uniform [1, R*4] tables) so the table specs follow the concrete tuple."""
     state_specs = StreamState(
         carry=P(STREAM_AXIS, *([None] * (_carry_ndim(pipeline) - 1))),
         ring=P(STREAM_AXIS, None, None, None),
         cursor=P(),
         palette_id=P(STREAM_AXIS),
         row_count=P(),
-        tables=tuple(
-            P(STREAM_AXIS, None) for _ in range(_n_tables(pipeline))
-        ) + ((P(),) if _auto_marker(pipeline) else ()),
+        tables=(
+            _state_tables_specs(state.tables) if state is not None
+            else tuple(
+                P(STREAM_AXIS, None) for _ in range(_n_tables(pipeline))
+            ) + ((P(),) if _auto_marker(pipeline) else ())
+        ),
     )
 
     def per_chip(state: StreamState, chunk: jax.Array):

@@ -302,7 +302,8 @@ def class_palette_sort(rng):
     if s >= 256:
         assert p._state_perm(st) is not None, "sort did not engage"
     p_pr = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
-               packed_output=True, blockwise_palettes=False)
+               packed_output=True, palette_sort=False,
+               blockwise_palettes=False)
     st_pr = p_pr.set_palette(p_pr.init_state(s), ids)
     out = out_pr = None
     for _ in range(2):

@@ -751,7 +751,7 @@ def test_palette_sort_matches_per_row(rng):
     S = 256  # two ts=128 colormap blocks after sorting
     ids = (np.arange(S) % 2).astype(np.int32)  # alternating
     p_ps = SpectrogramPipeline(CFG, palette_sort=True, **kw)
-    p_pr = SpectrogramPipeline(CFG, **kw)
+    p_pr = SpectrogramPipeline(CFG, palette_sort=False, **kw)
     s_ps = p_ps.set_palette(p_ps.init_state(S), ids)
     s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
     assert p_ps._state_perm(s_ps) is not None
@@ -812,8 +812,8 @@ def test_palette_sort_policy_gates(rng):
     wild = jnp.asarray((np.arange(S) % len(p.schemes)).astype(np.int32))
     s_wild = p.set_palette(p.init_state(S), wild)
     assert p._state_perm(s_wild) is None
-    # default pipelines never sort
-    p_off = SpectrogramPipeline(CFG, **kw)
+    # palette_sort=False pipelines never sort (the default is ON)
+    p_off = SpectrogramPipeline(CFG, palette_sort=False, **kw)
     s_off = p_off.set_palette(
         p_off.init_state(S), jnp.asarray((np.arange(S) % 2).astype(np.int32))
     )
@@ -832,7 +832,7 @@ def test_palette_sort_blocked_uneven_tail(rng):
     ids = (np.arange(S) % 2).astype(np.int32)
     p_ps = SpectrogramPipeline(CFG, palette_sort=True, stream_blocks=BS,
                                **kw)
-    p_pr = SpectrogramPipeline(CFG, **kw)
+    p_pr = SpectrogramPipeline(CFG, palette_sort=False, **kw)
     s_ps = p_ps.set_palette(p_ps.init_state(S), ids)
     s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
     assert p_ps._state_perm(s_ps) is not None
@@ -865,7 +865,8 @@ def test_palette_sort_carry_mode_transitions(rng):
               store_ring=False)
     S = 256
     p_ps = SpectrogramPipeline(CFG, palette_sort=True, **kw)
-    p_pr = SpectrogramPipeline(CFG, blockwise_palettes=False, **kw)
+    p_pr = SpectrogramPipeline(CFG, palette_sort=False,
+                               blockwise_palettes=False, **kw)
     assert p_ps.carry_sort_mode
     ids_a = (np.arange(S) % 2).astype(np.int32)
     ids_b = ((np.arange(S) // 2) % 2).astype(np.int32)  # different scatter
@@ -935,7 +936,8 @@ def test_palette_sort_carry_mode_checkpoint(rng, tmp_path):
               store_ring=False)
     S = 256
     p = SpectrogramPipeline(CFG, palette_sort=True, **kw)
-    p_pr = SpectrogramPipeline(CFG, blockwise_palettes=False, **kw)
+    p_pr = SpectrogramPipeline(CFG, palette_sort=False,
+                               blockwise_palettes=False, **kw)
     s = p.set_palette(
         p.init_state(S), (np.arange(S) % 2).astype(np.int32)
     )
@@ -972,11 +974,13 @@ def test_palette_sort_sorted_output(rng):
     ids = (np.arange(S) % 2).astype(np.int32)
     p_so = SpectrogramPipeline(CFG, palette_sort=True, sorted_output=True,
                                **kw)
-    p_pr = SpectrogramPipeline(CFG, blockwise_palettes=False, **kw)
+    p_pr = SpectrogramPipeline(CFG, palette_sort=False,
+                               blockwise_palettes=False, **kw)
     import pytest
 
     with pytest.raises(ValueError, match="sorted_output requires"):
-        SpectrogramPipeline(CFG, sorted_output=True, **kw)
+        SpectrogramPipeline(CFG, sorted_output=True, palette_sort=False,
+                            **kw)
     s_so = p_so.set_palette(p_so.init_state(S), ids)
     s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
     op = p_so.output_perm(s_so)
@@ -1000,4 +1004,46 @@ def test_palette_sort_sorted_output(rng):
     s_u, o_u = p_so.push(s_u, chunk)
     s_pr2 = p_pr.set_palette(s_pr, np.full(S, 1, np.int32))
     _, o_pr2 = p_pr.push(s_pr2, chunk)
+    np.testing.assert_array_equal(np.asarray(o_u), np.asarray(o_pr2))
+
+
+def test_palette_sort_default_on_and_unsort_state(rng):
+    """palette_sort defaults ON (measured +13% at 10,240 scattered streams
+    on v5e, exp_palette_sort): a default pipeline sorts an eligible
+    scattered layout, and unsort_state returns the external-order
+    equivalent — pushes bitwise vs a palette_sort=False pipeline before
+    and after unsorting."""
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    S = 256
+    ids = (np.arange(S) % 2).astype(np.int32)
+    p = SpectrogramPipeline(CFG, **kw)  # default: sorts
+    p_pr = SpectrogramPipeline(CFG, palette_sort=False, **kw)
+    assert p.palette_sort and p.carry_sort_mode
+    s = p.set_palette(p.init_state(S), ids)
+    s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
+    assert p._state_perm(s) is not None
+    chunk = jnp.asarray(
+        rng.standard_normal((S, p.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    s, o = p.push(s, chunk)
+    s_pr, o_pr = p_pr.push(s_pr, chunk)
+    np.testing.assert_array_equal(np.asarray(o), np.asarray(o_pr))
+    # unsort: external-order carry + plain per-row tables
+    u = p.unsort_state(s)
+    assert p._state_perm(u) is None
+    np.testing.assert_array_equal(np.asarray(u.carry), np.asarray(s_pr.carry))
+    np.testing.assert_array_equal(
+        np.asarray(u.tables[0]), np.asarray(s_pr.tables[0])
+    )
+    # identity on unsorted states
+    assert p_pr.unsort_state(s_pr) is s_pr
+    # the unsorted state keeps pushing bitwise, on the DEFAULT pipeline too
+    # (unsorted per-stream states take its per-row path)
+    chunk2 = jnp.asarray(
+        rng.standard_normal((S, p.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    _, o_u = p.push(u, chunk2)
+    _, o_pr2 = p_pr.push(s_pr, chunk2)
     np.testing.assert_array_equal(np.asarray(o_u), np.asarray(o_pr2))

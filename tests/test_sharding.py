@@ -133,3 +133,35 @@ def test_fused_pallas_chain_under_shard_map(rng):
         np.asarray(st.ring.astype(jnp.float32)),
         np.asarray(s0.ring.astype(jnp.float32)),
     )
+
+
+def test_shard_state_unsorts_palette_sorted_states(rng):
+    """palette_sort (default ON) stores a block-relative permutation that
+    cannot cross shard slices: shard_state raises without the pipeline,
+    de-sorts with it, and the sharded push matches the single-device
+    sorted push bitwise.  Once sharded, set_palette never re-sorts."""
+    m = pmesh.make_mesh()
+    p = SpectrogramPipeline(CFG, chunk_hops=1, store_ring=False,
+                            packed_output=True, stft_backend="pallas",
+                            colormap_backend="pallas", kernel_interpret=True)
+    S = 256  # 32 streams/device; alternating ids sort into ts-size runs
+    ids = (np.arange(S) % 2).astype(np.int32)
+    s = p.set_palette(p.init_state(S), ids)
+    assert p._state_perm(s) is not None
+    with pytest.raises(ValueError, match="palette-sorted"):
+        pmesh.shard_state(s, m)
+    sh = pmesh.shard_state(s, m, p)
+    pcm = rng.standard_normal((S, p.chunk_size, 2)).astype(np.float32) * 0.2
+    # non-donating reference push: device_put may alias replicated leaves
+    # between s and sh, and a donated s would tear sh down with it
+    _, rgba_ref = jax.jit(p.push_impl)(s, jnp.asarray(pcm))
+    assert p._state_perm(sh) is None
+    # the unsorted scattered layout has no blockwise marker — derive the
+    # table shardings from the concrete state, not the init-state class
+    step = pmesh.sharded_push(p, m, state=sh)
+    chunk = jax.device_put(jnp.asarray(pcm), pmesh.chunk_sharding(m))
+    sh1, rgba = step(sh, chunk)
+    np.testing.assert_array_equal(np.asarray(rgba), np.asarray(rgba_ref))
+    # sharded states never re-sort
+    sh2 = p.set_palette(sh1, jnp.asarray(ids))
+    assert p._state_perm(sh2) is None
