@@ -59,10 +59,11 @@ def main() -> None:
     )
     ap.add_argument(
         "--palette-sort", action="store_true", dest="palette_sort",
-        help="multi-tenant scattered palettes: stable-argsort the layout "
-        "at set_palette into the blockwise colormap kernel (sorted-carry "
-        "streaming mode + sorted_output: rows leave the device in sorted "
-        "order, the drain reindexes via pipeline.output_perm — round 4)",
+        help="multi-tenant scattered palettes + sorted_output: set a "
+        "worst-case scattered layout (the library's palette_sort — default "
+        "ON — argsorts it into the blockwise colormap kernel, sorted-carry "
+        "streaming mode) and let rows leave the device in sorted order; "
+        "the drain reindexes via pipeline.output_perm (round 4)",
     )
     args = ap.parse_args()
 
@@ -73,7 +74,8 @@ def main() -> None:
     )
     pipeline = SpectrogramPipeline(
         cfg, chunk_hops=1, store_ring=False, packed_output=True,
-        palette_sort=args.palette_sort, sorted_output=args.palette_sort,
+        # palette_sort itself defaults on; the flag opts into sorted_output
+        sorted_output=args.palette_sort,
     )
     s = args.streams
     bank = RingBank16(s, capacity=8192)
