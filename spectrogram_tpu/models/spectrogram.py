@@ -674,12 +674,17 @@ class SpectrogramPipeline:
         block_rows, _ = cmap_kernel._auto_blocks(b, None, None)
         return min(block_rows, n_rows) if n_rows % block_rows else block_rows
 
+    # Blockwise economics threshold: engage when >= this fraction of the
+    # ts-row colormap blocks are single-palette.  Measured
+    # (exp_colormap_blockwise): -29% colormap on uniform blocks, +4% on
+    # mixed — raw breakeven ~12%; the margin above it absorbs the
+    # flag-test overhead on borderline layouts.  Class attribute so
+    # experiments can A/B the boundary (exp_gate_threshold).
+    _BW_AUTO_FRAC = 0.5
+
     def _blockwise_auto_decision(self, ids: np.ndarray) -> bool:
-        """True when >= half the ts-row colormap blocks of this concrete
-        per-stream palette layout are single-palette.  Measured economics
-        (exp_colormap_blockwise): -29% colormap on uniform blocks, +4% on
-        mixed — breakeven is ~12% uniform blocks; 50% keeps a wide margin
-        for the flag-test overhead on borderline layouts."""
+        """True when >= `_BW_AUTO_FRAC` of the ts-row colormap blocks of
+        this concrete per-stream palette layout are single-palette."""
         s = int(ids.shape[0])
         ts = self._cmap_ts(s * self.chunk_hops)
         nb = s // ts
@@ -687,7 +692,7 @@ class SpectrogramPipeline:
             return bool((ids == ids.flat[0]).all())
         head = ids[: nb * ts].reshape(nb, ts)
         uniform = (head == head[:, :1]).all(axis=1)
-        return float(uniform.mean()) >= 0.5
+        return float(uniform.mean()) >= self._BW_AUTO_FRAC
 
     def _maybe_mark_blockwise(self, tables: tuple, ids,
                               prev_state: "StreamState") -> tuple:
@@ -748,8 +753,11 @@ class SpectrogramPipeline:
             if pi is None:
                 return None
             perm, inv = pi
-            gp = self._global_perm(perm, s)
-            return (jnp.take(tables[0], gp, axis=0), perm, inv)
+            glob = self._tables_perm_global(prev_state.tables)
+            gp = self._global_perm(perm, s, glob)
+            t2 = jnp.take(tables[0], gp, axis=0)
+            return (t2, perm, inv, self._bw_marker()) if glob else (
+                t2, perm, inv)
         layout = np.broadcast_to(np.asarray(ids, np.int64), (s,))
         if self._blockwise_auto_decision(layout):
             return None  # already clustered: marker path, no gathers
@@ -759,9 +767,14 @@ class SpectrogramPipeline:
         """Stable per-sort-block argsort of a concrete scattered layout.
         Sort blocks coincide with the stream blocks `_push_blocked` will
         slice (so the stored BLOCK-RELATIVE perm/inv stay valid after
-        slicing); returns None when even the sorted layout fails the
-        blockwise economics (more distinct palettes than rows per colormap
-        block — gathers would buy nothing)."""
+        slicing).  When the per-block sort fails the blockwise economics
+        but a GLOBAL sort passes — the stream-blocked regime, where
+        4096-block sorting shrinks the palette runs below the colormap
+        block size (19 palettes -> 215-stream runs vs ts=128 at 16k+
+        streams) while a whole-state sort keeps ~860-stream runs inside
+        every block — fall back to `_global_sorted_tables`.  Returns None
+        when neither form pays (more distinct palettes than rows per
+        colormap block — gathers would buy nothing)."""
         s = int(layout.shape[0])
         bs = self._push_block_streams(s) or s
         perm = np.empty(s, np.int32)
@@ -774,7 +787,7 @@ class SpectrogramPipeline:
             inv[b0:b1][p] = np.arange(b1 - b0, dtype=np.int32)
             sorted_layout[b0:b1] = layout[b0:b1][p]
         if not self._blockwise_auto_decision(sorted_layout):
-            return None
+            return self._global_sorted_tables(tables, layout, bs)
         gp = perm + (np.arange(s, dtype=np.int32) // bs).astype(np.int32) * bs
         return (
             jnp.take(tables[0], jnp.asarray(gp), axis=0),
@@ -782,19 +795,60 @@ class SpectrogramPipeline:
             jnp.asarray(inv),
         )
 
+    def _global_sorted_tables(self, tables: tuple, layout: np.ndarray,
+                              bs: int):
+        """GLOBAL palette sort (round 4 late, the stream-blocked regime):
+        one whole-state stable argsort stored as a length-4 tuple
+        (t_sorted, perm, inv, zero-size marker) — structurally distinct
+        from the block-relative length-3 form.  `_push_core` permutes the
+        incoming chunk ONCE before block slicing and unpermutes the packed
+        output after reassembly; the blocks themselves see a plain
+        blockwise-marked state (contiguous slices of the sorted order), so
+        the per-block push body needs no perm logic at all.  Carry-sort
+        mode only: the carry lives globally sorted between pushes — the
+        mag-bridge would need a per-block permute that crosses block
+        boundaries, which the blocked push cannot express."""
+        s = int(layout.shape[0])
+        if (
+            bs >= s  # flat push: the per-block sort WAS the global sort
+            or not self.carry_sort_mode
+            or self.blockwise_palettes not in ("auto", True)
+        ):
+            return None
+        perm = np.argsort(layout, kind="stable").astype(np.int32)
+        if not self._blockwise_auto_decision(layout[perm]):
+            return None
+        inv = np.empty(s, np.int32)
+        inv[perm] = np.arange(s, dtype=np.int32)
+        return (
+            jnp.take(tables[0], jnp.asarray(perm), axis=0),
+            jnp.asarray(perm),
+            jnp.asarray(inv),
+            self._bw_marker(),
+        )
+
     @staticmethod
     def _tables_perm(t: tuple):
         """(perm, inv) when a tables tuple is palette-sorted.  The sorted
-        tuple (t_sorted 2-D, perm 1-D size S, inv 1-D) is structurally
-        unambiguous: built-in states are 1-tuples (+ zero-size marker),
-        generic states 2-tuples — only sorted states have length 3."""
+        tuples are structurally unambiguous: built-in states are 1-tuples
+        (+ zero-size marker), generic states 2-tuples — only sorted states
+        have length 3 (block-relative perm) or 4 (GLOBAL perm, trailing
+        zero-size marker; see `_tables_perm_global`)."""
         if (
-            len(t) == 3
+            len(t) in (3, 4)
             and t[1].ndim == 1 and t[1].size
             and t[2].ndim == 1 and t[2].size
+            and (len(t) == 3 or (t[3].ndim == 1 and not t[3].size))
         ):
             return t[1], t[2]
         return None
+
+    @staticmethod
+    def _tables_perm_global(t: tuple) -> bool:
+        """True when a sorted tables tuple stores a GLOBAL permutation
+        (length-4 form): perm/inv index the whole state, not block-local
+        slices — handled at the `_push_core` level, above block slicing."""
+        return len(t) == 4 and SpectrogramPipeline._tables_perm(t) is not None
 
     def _state_perm(self, state: "StreamState"):
         return self._tables_perm(state.tables)
@@ -815,13 +869,30 @@ class SpectrogramPipeline:
             return carry
         s = prev_state.palette_id.shape[0]
         if old is not None:
-            carry = jnp.take(carry, self._global_perm(old[1], s), axis=0)
+            carry = jnp.take(
+                carry,
+                self._global_perm(
+                    old[1], s, self._tables_perm_global(prev_state.tables)
+                ),
+                axis=0,
+            )
         if new is not None:
-            carry = jnp.take(carry, self._global_perm(new[0], s), axis=0)
+            carry = jnp.take(
+                carry,
+                self._global_perm(
+                    new[0], s, self._tables_perm_global(new_tables)
+                ),
+                axis=0,
+            )
         return carry
 
-    def _global_perm(self, perm: jax.Array, s: int) -> jax.Array:
-        """Block-relative perm -> global row indices (for table re-picks)."""
+    def _global_perm(self, perm: jax.Array, s: int,
+                     glob: bool = False) -> jax.Array:
+        """Block-relative perm -> global row indices (for table re-picks).
+        `glob=True` (the length-4 global-sort form, `_tables_perm_global`):
+        the stored perm already IS global — returned unchanged."""
+        if glob:
+            return perm
         bs = self._push_block_streams(s) or s
         off = (jnp.arange(s, dtype=jnp.int32) // bs) * bs
         return off + perm
@@ -838,7 +909,9 @@ class SpectrogramPipeline:
         if pi is None:
             return None
         s = state.palette_id.shape[0]
-        return np.asarray(self._global_perm(pi[1], s))
+        return np.asarray(
+            self._global_perm(pi[1], s, self._tables_perm_global(state.tables))
+        )
 
     def unsort_state(self, state: "StreamState") -> "StreamState":
         """Return `state` in external stream order with the palette sort
@@ -852,7 +925,9 @@ class SpectrogramPipeline:
             return state
         _, inv = pi
         s = state.palette_id.shape[0]
-        g_inv = self._global_perm(inv, s)
+        g_inv = self._global_perm(
+            inv, s, self._tables_perm_global(state.tables)
+        )
         carry = state.carry
         if self.carry_sort_mode:
             carry = jnp.take(carry, g_inv, axis=0)
@@ -980,9 +1055,32 @@ class SpectrogramPipeline:
         if self.sanitize_input:
             chunk_pl = jnp.where(jnp.isfinite(chunk_pl), chunk_pl, 0.0)
         bs = self._push_block_streams(chunk_pl.shape[0])
+        if self._tables_perm_global(state.tables):
+            return self._push_global_sorted(state, chunk_pl, bs)
         if bs:
             return self._push_blocked(state, chunk_pl, bs)
         return self._push_one_block(state, chunk_pl)
+
+    def _push_global_sorted(self, state: StreamState, chunk_pl: jax.Array,
+                            bs: int):
+        """Push a GLOBALLY palette-sorted state (length-4 tables tuple):
+        permute the incoming chunk once into the carry's sorted order,
+        run the body on a plain blockwise-marked state — the stream blocks
+        slice contiguous ranges of the sorted order, so no per-block perm
+        logic exists — and unpermute the packed rows once at the end.
+        Carry-sort mode only (`_global_sorted_tables` gates creation):
+        the carry is at rest globally sorted, so the mag planes come out
+        of the STFT already in table order."""
+        perm, inv = self._state_perm(state)
+        chunk_pl = jnp.take(chunk_pl, perm, axis=0)
+        inner = state._replace(tables=(state.tables[0], self._bw_marker()))
+        if bs:
+            new_state, rgba = self._push_blocked(inner, chunk_pl, bs)
+        else:
+            new_state, rgba = self._push_one_block(inner, chunk_pl)
+        if not self.sorted_output:
+            rgba = jnp.take(rgba, inv, axis=0)
+        return new_state._replace(tables=state.tables), rgba
 
     # Auto stream-blocking threshold: flat wins at 10,240 (8.06 vs 8.61
     # ms blocked — the scoped-memory regime still holds), blocked wins

@@ -34,6 +34,10 @@ Classes pinned here (each exercises a distinct compile path):
                   at set_palette, permuted-chunk push through the
                   blockwise kernel, unpermuted packed rows; bitwise vs
                   the per-row pipeline
+  global_sort   — GLOBAL palette sort under stream blocking (length-4
+                  tables tuple): chunk permuted above the block slicing,
+                  blocks run blockwise on contiguous sorted slices;
+                  bitwise vs the flat per-row pipeline
   viewport      — ring render + GL-law width rescale matmul
   xla_parity    — classes 'flip' and 'lane_pad' vs the XLA-composed
                   backends on the same chunk (<= 1 u8)
@@ -315,6 +319,40 @@ def class_palette_sort(rng):
     )
 
 
+def class_global_sort(rng):
+    """GLOBAL palette sort (length-4 tables tuple, round 4 late): under
+    stream blocking, a scattered layout whose per-block sort fails the
+    blockwise economics sorts GLOBALLY instead — the chunk permutes once
+    above the block slicing, every block runs the blockwise kernel on a
+    contiguous slice of the sorted order, and the packed rows unpermute
+    once after reassembly.  Bitwise vs the flat per-row pipeline."""
+    import jax.numpy as jnp
+
+    s = _n_streams(768)
+    bs = 256
+    # 3 palettes scattered: per-block sorted runs are bs/3 ~ 85 (fails the
+    # >=50% uniform-block economics at ts=64 or 128); global runs are s/3 =
+    # 256 (block-aligned, passes) -> the length-4 global class engages.
+    ids = (np.arange(s) % 3).astype(np.int32)
+    p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+            packed_output=True, palette_sort=True, stream_blocks=bs)
+    st = p.set_palette(p.init_state(s), ids)
+    if s >= 768:
+        assert p._tables_perm_global(st.tables), "global sort did not engage"
+    p_pr = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+               packed_output=True, palette_sort=False,
+               blockwise_palettes=False)
+    st_pr = p_pr.set_palette(p_pr.init_state(s), ids)
+    out = out_pr = None
+    for _ in range(2):
+        chunk = jnp.asarray(_mk_chunk(rng, s, p))
+        st, out = p.push(st, chunk)
+        st_pr, out_pr = p_pr.push(st_pr, chunk)
+    assert (np.asarray(out) == np.asarray(out_pr)).all(), (
+        "global palette sort output differs from the per-row kernel"
+    )
+
+
 def class_viewport(rng):
     p = _pl(_cfg_bench(), chunk_hops=8, viewport_rows=64)
     state, _ = _push_twice(p, 16, rng)
@@ -359,6 +397,7 @@ CLASSES = (
     ("k1", class_k1),
     ("blockwise_auto", class_blockwise_auto),
     ("palette_sort", class_palette_sort),
+    ("global_sort", class_global_sort),
     ("viewport", class_viewport),
     ("xla_parity", class_xla_parity),
 )

@@ -69,7 +69,10 @@ def save_state(
         )
     if perm is not None and pipeline.carry_sort_mode:
         ginv = np.asarray(
-            pipeline._global_perm(perm[1], carry.shape[0])
+            pipeline._global_perm(
+                perm[1], carry.shape[0],
+                SpectrogramPipeline._tables_perm_global(state.tables),
+            )
         )
         carry = carry[ginv]
     np.savez_compressed(
@@ -132,7 +135,10 @@ def load_state(path, pipeline: SpectrogramPipeline) -> StreamState:
     perm = SpectrogramPipeline._tables_perm(tables)
     if perm is not None and pipeline.carry_sort_mode:
         carry = np.asarray(
-            carry[np.asarray(pipeline._global_perm(perm[0], carry.shape[0]))]
+            carry[np.asarray(pipeline._global_perm(
+                perm[0], carry.shape[0],
+                SpectrogramPipeline._tables_perm_global(tables),
+            ))]
         )
     state = StreamState(
         carry=jnp.asarray(carry),

@@ -1047,3 +1047,158 @@ def test_palette_sort_default_on_and_unsort_state(rng):
     _, o_u = p.push(u, chunk2)
     _, o_pr2 = p_pr.push(s_pr, chunk2)
     np.testing.assert_array_equal(np.asarray(o_u), np.asarray(o_pr2))
+
+
+def test_palette_sort_global_blocked(rng):
+    """GLOBAL palette sort (length-4 tables tuple): when the per-block sort
+    fails the blockwise economics under stream blocking (palette runs
+    shorter than the colormap block inside each push block) but a whole-
+    state sort passes, set_palette stores a GLOBAL perm; _push_core
+    permutes the chunk once above the block slicing and unpermutes the
+    packed rows once after reassembly.  Bitwise vs the flat per-row
+    pipeline, uneven tail included."""
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    for S, BS in ((512, 128), (576, 128)):  # even blocks / 64-stream tail
+        ids = (np.arange(S) % 2).astype(np.int32)  # alternating: per-block
+        # sorted runs are 64 < ts=128 (refuses); global runs are S/2 >= 256
+        p_ps = SpectrogramPipeline(CFG, palette_sort=True, stream_blocks=BS,
+                                   **kw)
+        p_pr = SpectrogramPipeline(CFG, palette_sort=False,
+                                   blockwise_palettes=False, **kw)
+        s_ps = p_ps.set_palette(p_ps.init_state(S), ids)
+        s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
+        assert p_ps._tables_perm_global(s_ps.tables), (S, BS)
+        assert len(s_ps.tables) == 4 and s_ps.tables[3].size == 0
+        perm = np.asarray(s_ps.tables[1])
+        assert perm.shape == (S,) and perm.max() == S - 1  # global indices
+        assert p_ps._state_blockwise(s_ps)
+        for _ in range(2):
+            chunk = jnp.asarray(
+                rng.standard_normal((S, p_ps.chunk_size, 2))
+                .astype(np.float32) * 0.2
+            )
+            s_ps, o_ps = p_ps.push(s_ps, chunk)
+            s_pr, o_pr = p_pr.push(s_pr, chunk)
+            np.testing.assert_array_equal(np.asarray(o_ps), np.asarray(o_pr))
+        # carry at rest globally sorted
+        inv = np.asarray(s_ps.tables[2])
+        np.testing.assert_array_equal(
+            np.asarray(s_ps.carry)[inv], np.asarray(s_pr.carry)
+        )
+        # unsort_state: external carry + plain 1-tuple
+        u = p_ps.unsort_state(s_ps)
+        assert p_ps._state_perm(u) is None and len(u.tables) == 1
+        np.testing.assert_array_equal(
+            np.asarray(u.carry), np.asarray(s_pr.carry)
+        )
+
+
+def test_palette_sort_global_transitions(rng):
+    """Global-sorted states survive set_palette transitions: traced
+    set_palette preserves the length-4 class (old perm, new tables);
+    global -> uniform returns the carry to external order; global ->
+    block-relative re-sorts correctly.  Pushes bitwise vs per-row
+    throughout."""
+    import jax
+
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    S, BS = 512, 256
+    # 4 palettes scattered: per-block (bs=256) sorted runs are 64 < ts=128
+    # (refuses) -> GLOBAL runs of 128 engage the length-4 class
+    ids_g = (np.arange(S) % 4).astype(np.int32)
+    # 64-runs of 2 palettes: per-block sorted runs are 128 = ts -> the
+    # BLOCK-relative sort engages (and the unsorted layout is not clustered)
+    ids_b = ((np.arange(S) // 64) % 2).astype(np.int32)
+    p_ps = SpectrogramPipeline(CFG, palette_sort=True, stream_blocks=BS, **kw)
+    p_pr = SpectrogramPipeline(CFG, palette_sort=False,
+                               blockwise_palettes=False, **kw)
+
+    def step(s_ps, s_pr):
+        chunk = jnp.asarray(
+            rng.standard_normal((S, p_ps.chunk_size, 2)).astype(np.float32)
+            * 0.2
+        )
+        s_ps, o_ps = p_ps.push(s_ps, chunk)
+        s_pr, o_pr = p_pr.push(s_pr, chunk)
+        np.testing.assert_array_equal(np.asarray(o_ps), np.asarray(o_pr))
+        return s_ps, s_pr
+
+    s_ps = p_ps.set_palette(p_ps.init_state(S), ids_g)
+    s_pr = p_pr.set_palette(p_pr.init_state(S), ids_g)
+    assert p_ps._tables_perm_global(s_ps.tables)
+    s_ps, s_pr = step(s_ps, s_pr)
+    # traced set_palette: same ids array class preserved (global 4-tuple)
+    s_tr = jax.jit(lambda st, i: p_ps.set_palette(st, i))(
+        s_ps, jnp.asarray(3 - ids_g)
+    )
+    assert p_ps._tables_perm_global(s_tr.tables)
+    s_pr_tr = p_pr.set_palette(s_pr, (3 - ids_g).astype(np.int32))
+    s_tr, s_pr_tr = step(s_tr, s_pr_tr)
+    # global -> block-relative (different layout class)
+    s_b = p_ps.set_palette(s_tr, ids_b)
+    s_pr_b = p_pr.set_palette(s_pr_tr, ids_b)
+    assert p_ps._state_perm(s_b) is not None
+    assert not p_ps._tables_perm_global(s_b.tables)
+    s_b, s_pr_b = step(s_b, s_pr_b)
+    # global/block -> uniform: carry back to external order
+    s_u = p_ps.set_palette(s_b, 3)
+    s_pr_u = p_pr.set_palette(s_pr_b, np.full(S, 3, np.int32))
+    assert p_ps._state_perm(s_u) is None
+    np.testing.assert_array_equal(
+        np.asarray(s_u.carry), np.asarray(s_pr_u.carry)
+    )
+    step(s_u, s_pr_u)
+
+
+def test_palette_sort_global_sorted_output_and_checkpoint(rng, tmp_path):
+    """Global mode composes with sorted_output (host reindex through the
+    GLOBAL inverse) and round-trips through npz checkpoints (external
+    carry order on disk; the length-4 class re-derived from the persisted
+    ids)."""
+    from spectrogram_tpu.utils.checkpoint import load_state, save_state
+
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    S, BS = 512, 128
+    ids = (np.arange(S) % 2).astype(np.int32)
+    p_so = SpectrogramPipeline(CFG, palette_sort=True, sorted_output=True,
+                               stream_blocks=BS, **kw)
+    p = SpectrogramPipeline(CFG, palette_sort=True, stream_blocks=BS, **kw)
+    p_pr = SpectrogramPipeline(CFG, palette_sort=False,
+                               blockwise_palettes=False, **kw)
+    s_so = p_so.set_palette(p_so.init_state(S), ids)
+    s = p.set_palette(p.init_state(S), ids)
+    s_pr = p_pr.set_palette(p_pr.init_state(S), ids)
+    assert p_so._tables_perm_global(s_so.tables)
+    op = p_so.output_perm(s_so)
+    assert op is not None and op.shape == (S,)
+    chunk = jnp.asarray(
+        rng.standard_normal((S, p.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    s_so, o_so = p_so.push(s_so, chunk)
+    s, o = p.push(s, chunk)
+    s_pr, o_pr = p_pr.push(s_pr, chunk)
+    np.testing.assert_array_equal(
+        np.asarray(o_so)[p_so.output_perm(s_so)], np.asarray(o_pr)
+    )
+    np.testing.assert_array_equal(np.asarray(o), np.asarray(o_pr))
+    # checkpoint: external order on disk, class re-derived on load
+    save_state(tmp_path / "ck.npz", s, p.cfg, pipeline=p)
+    r = load_state(tmp_path / "ck.npz", p)
+    assert p._tables_perm_global(r.tables)
+    chunk2 = jnp.asarray(
+        rng.standard_normal((S, p.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    _, o_s = p.push(s, chunk2)
+    _, o_r = p.push(r, chunk2)
+    np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_r))
+    # and into a per-row pipeline: external carry, same bytes
+    r_pr = load_state(tmp_path / "ck.npz", p_pr)
+    assert p_pr._state_perm(r_pr) is None
+    _, o_pr2 = p_pr.push(r_pr, chunk2)
+    np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_pr2))
