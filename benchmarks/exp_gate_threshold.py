@@ -11,8 +11,23 @@ value at 43.8%: ~ +10% on the colormap stage.  This harness measures the
 real pipelines with the gate lowered to 0.25 (per-instance override)
 against the per-row baseline, bitwise-parity-checked.
 
-Usage: python benchmarks/exp_gate_threshold.py [S] [scan_len]
+Usage: python benchmarks/exp_gate_threshold.py [S] [scan_len] [--tuned-ref]
 Defaults: S=4096, scan 100, both geometries.
+
+RESULTS (TPU v5e-1 via dev harness, 2026-08-18, scan 100, best of 3,
+bitwise parity everywhere; sorted uniform fraction 43.8% in all cases):
+  bench 2048/4096:         per_row 2.999 ms -> sorted25 2.941  (+2.0%)
+  ref 2400/4800 (default): per_row 4.578 ms -> sorted25 4.170  (+9.8%)
+  ref 2400/4800 (tuned 40x120 ts=64, --tuned-ref):
+                           per_row 4.090 ms -> sorted25 4.459  (-8.3%)
+VERDICT: a WASH — the three readings sit inside the documented ~10%
+single-harness noise band with opposite signs at the SAME uniform
+fraction (ts=128 for all three; the plan does not change the colormap
+structure).  The sort's fixed per-push costs (chunk gather + packed-row
+unpermute, ~0.2 ms at 4096 streams) cancel the 44%-fraction colormap
+EV at headline populations.  `_BW_AUTO_FRAC` stays 0.5; the 16k+
+populations get their win from the GLOBAL sort (exp_global_sort), where
+the fraction is ~86% and the fixed costs amortize over 4x the rows.
 """
 import sys
 import pathlib
@@ -26,8 +41,9 @@ import jax.numpy as jnp
 from spectrogram_tpu.config import BENCH_CONFIG, SpectrogramConfig
 from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
 
-S = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-SCAN_LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+S = int(_args[0]) if _args else 4096
+SCAN_LEN = int(_args[1]) if len(_args) > 1 else 100
 N_P = 19
 
 rng = np.random.default_rng(0)
@@ -39,11 +55,13 @@ GEOMETRIES = {
 }
 
 
-def bench_geometry(name, cfg):
+def bench_geometry(name, cfg, plan=None, block_rows=None):
     def make(sort, frac=None):
         p = SpectrogramPipeline(
             cfg, chunk_hops=1, store_ring=False, packed_output=True,
             precision_profile="fast", palette_sort=sort)
+        if plan is not None:
+            p.override_plan(plan, block_rows)
         if frac is not None:
             p._BW_AUTO_FRAC = frac
         return p
@@ -93,5 +111,15 @@ def bench_geometry(name, cfg):
               flush=True)
 
 
-for name, cfg in GEOMETRIES.items():
-    bench_geometry(name, cfg)
+if "--tuned-ref" in sys.argv:
+    # reference-native geometry with the TUNED 40x120 ts=64 plan (the
+    # BASELINE.md tuned-table configuration) — the publication-grade A/B
+    from spectrogram_tpu.ops.mxu_fft import FftPlan
+
+    cfg = GEOMETRIES["ref2400"]
+    bench_geometry("ref2400-tuned", cfg,
+                   plan=FftPlan(n=4800, n1=40, n2=120, m=2400 // 40),
+                   block_rows=64)
+else:
+    for name, cfg in GEOMETRIES.items():
+        bench_geometry(name, cfg)

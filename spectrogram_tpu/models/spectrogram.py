@@ -677,8 +677,14 @@ class SpectrogramPipeline:
     # Blockwise economics threshold: engage when >= this fraction of the
     # ts-row colormap blocks are single-palette.  Measured
     # (exp_colormap_blockwise): -29% colormap on uniform blocks, +4% on
-    # mixed — raw breakeven ~12%; the margin above it absorbs the
-    # flag-test overhead on borderline layouts.  Class attribute so
+    # mixed — raw breakeven ~12%; 0.5 keeps a wide margin for the
+    # flag-test overhead AND the sort's own fixed costs.  Lowering to
+    # 0.25 was MEASURED A WASH at the 43.8% point (sorted 19-palette
+    # layout, 4096 streams, exp_gate_threshold on v5e: bench +2.0%,
+    # untuned 2400/4800 +9.8%, tuned 40x120 2400/4800 -8.3% — all inside
+    # the ~10% single-harness noise band, opposite signs at the same
+    # fraction): the ~0.2 ms chunk-gather + output-unpermute cost cancels
+    # the 44%-fraction colormap EV at 4k populations.  Class attribute so
     # experiments can A/B the boundary (exp_gate_threshold).
     _BW_AUTO_FRAC = 0.5
 
