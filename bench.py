@@ -88,6 +88,12 @@ def main() -> None:
         # stream headline is identical either way: 19 palettes sort into
         # ~215-stream runs there and the blockwise economics gate refuses.
         palette_sort=os.environ.get("BENCH_PALETTE_SORT", "1") == "1",
+        # BENCH_SORTED_OUTPUT=1: the serving contract where rows are
+        # emitted in sorted stream order and the host drain reindexes via
+        # output_perm(state) — deletes the device-side packed-row
+        # unpermute (a [S, H] i32 take).  Off for the headline (external-
+        # order output is the reference-parity contract).
+        sorted_output=os.environ.get("BENCH_SORTED_OUTPUT", "0") == "1",
     )
 
     rng = np.random.default_rng(0)
