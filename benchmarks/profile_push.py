@@ -111,6 +111,20 @@ def main():
     if os.environ.get("PROFILE_UNIFORM", "0") == "1":
         # scalar set_palette -> the SMEM-scalar uniform colormap kernel
         state = pipeline.set_palette(state, 1)
+    elif os.environ.get("PROFILE_PALETTE_LAYOUT", "") == "scattered":
+        # the official-bench scattered 19-palette layout: per-row tables
+        # at <= 10,240 flat populations (palette_sort engages block-
+        # relative there), the GLOBAL sort + blockwise kernel at
+        # stream-blocked populations (S >= 12,288)
+        state = pipeline.set_palette(
+            state, (np.arange(n_streams) % 19).astype(np.int32)
+        )
+        print(
+            "layout=scattered sorted="
+            f"{pipeline._state_perm(state) is not None} "
+            f"global={pipeline._tables_perm_global(state.tables)}",
+            flush=True,
+        )
     log_dir = f"/tmp/sg_trace_{n_streams}_{precision}" + ("_pl" if planar else "")
     trace_scan(push, state, chunk, scan_len, log_dir)
     op_total, op_count = parse_trace(log_dir, scan_len)
