@@ -92,8 +92,12 @@ def main() -> None:
         # emitted in sorted stream order and the host drain reindexes via
         # output_perm(state) — deletes the device-side packed-row
         # unpermute (a [S, H] i32 take).  Off for the headline (external-
-        # order output is the reference-parity contract).
-        sorted_output=os.environ.get("BENCH_SORTED_OUTPUT", "0") == "1",
+        # order output is the reference-parity contract).  Requires
+        # palette_sort, so it silently follows BENCH_PALETTE_SORT=0.
+        sorted_output=(
+            os.environ.get("BENCH_SORTED_OUTPUT", "0") == "1"
+            and os.environ.get("BENCH_PALETTE_SORT", "1") == "1"
+        ),
     )
 
     rng = np.random.default_rng(0)

@@ -328,16 +328,21 @@ def class_global_sort(rng):
     once after reassembly.  Bitwise vs the flat per-row pipeline."""
     import jax.numpy as jnp
 
-    s = _n_streams(768)
+    s = _n_streams(1280)
     bs = 256
-    # 3 palettes scattered: per-block sorted runs are bs/3 ~ 85 (fails the
-    # >=50% uniform-block economics at ts=64 or 128); global runs are s/3 =
-    # 256 (block-aligned, passes) -> the length-4 global class engages.
-    ids = (np.arange(s) % 3).astype(np.int32)
+    # 5 palettes scattered: per-block sorted runs are bs/5 = 51 — shorter
+    # than ANY plausible colormap block (ts 64 or 128), so zero uniform
+    # blocks and the per-block economics refuse regardless of colormap
+    # retunes; global runs are s/5 = 256 (aligned to both ts values,
+    # passes) -> the length-4 global class engages.  (The first cut used
+    # 3 palettes at s=768: per-block runs of ~85 sit at EXACTLY 50%
+    # uniform for ts=64 — one colormap-block retune away from flipping to
+    # the block-relative class and a phantom assert failure.)
+    ids = (np.arange(s) % 5).astype(np.int32)
     p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
             packed_output=True, palette_sort=True, stream_blocks=bs)
     st = p.set_palette(p.init_state(s), ids)
-    if s >= 768:
+    if s >= 1280:
         assert p._tables_perm_global(st.tables), "global sort did not engage"
     p_pr = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
                packed_output=True, palette_sort=False,
