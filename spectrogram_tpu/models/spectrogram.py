@@ -348,9 +348,13 @@ class SpectrogramPipeline:
         # SORTED layout passes the blockwise economics (>= half the colormap
         # row blocks single-palette after sorting — e.g. 19 palettes over
         # 10k streams sorts into ~540-stream runs).  Engages only on the
-        # fused Pallas chain with the single-array built-in table registry;
-        # NOT supported under parallel.mesh sharding (a global sort crosses
-        # shard boundaries) — sharded states are never sorted.
+        # fused Pallas chain with the single-array built-in table registry.
+        # Under parallel.mesh sharding the sort goes PER SHARD SLICE
+        # (round 4 final): set_palette with concrete ids, and
+        # mesh.shard_state(state, mesh, pipeline), argsort each shard's
+        # slice independently (length-4 tuple, values global-but-
+        # confined) so every device keeps the blockwise colormap with no
+        # cross-ICI gathers — same economics gate per shard.
         self.palette_sort = bool(palette_sort)
         # Sorted-carry fast mode (streaming configs, store_ring=False): the
         # CARRY lives in sorted stream order (permuted once at set_palette),
@@ -750,9 +754,6 @@ class SpectrogramPipeline:
         same class-preservation rule as the blockwise marker)."""
         if not self._palette_sort_eligible(tables):
             return None
-        sh = getattr(prev_state.palette_id, "sharding", None)
-        if sh is not None and len(getattr(sh, "device_set", ())) > 1:
-            return None  # sharded state: a sort would cross shard slices
         s = prev_state.palette_id.shape[0]
         if ids is None:
             pi = self._state_perm(prev_state)
@@ -767,6 +768,22 @@ class SpectrogramPipeline:
         layout = np.broadcast_to(np.asarray(ids, np.int64), (s,))
         if self._blockwise_auto_decision(layout):
             return None  # already clustered: marker path, no gathers
+        sh = getattr(prev_state.palette_id, "sharding", None)
+        if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+            # sharded state: sort PER SHARD SLICE (view blocks = shard
+            # slices, perm values global-but-confined) so every device's
+            # local view stays self-contained under shard_map and the
+            # GSPMD gathers never cross ICI.  Carry-sort mode only, same
+            # gate as the whole-state global sort.
+            if (
+                not self.carry_sort_mode
+                or self.blockwise_palettes not in ("auto", True)
+            ):
+                return None
+            shard = sh.shard_shape((s,))[0]
+            if shard >= s or s % shard:
+                return None
+            return self._view_sorted_tables(tables, layout, shard)
         return self._sorted_tables(tables, layout)
 
     def _sorted_tables(self, tables: tuple, layout: np.ndarray):
@@ -821,11 +838,32 @@ class SpectrogramPipeline:
             or self.blockwise_palettes not in ("auto", True)
         ):
             return None
-        perm = np.argsort(layout, kind="stable").astype(np.int32)
-        if not self._blockwise_auto_decision(layout[perm]):
-            return None
+        return self._view_sorted_tables(tables, layout, s)
+
+    def _view_sorted_tables(self, tables: tuple, layout: np.ndarray,
+                            view_bs: int):
+        """Length-4 sorted tuple with VIEW blocks of `view_bs` streams:
+        one stable argsort per view block, perm/inv holding GLOBAL
+        external indices confined to their block.  view_bs = s is the
+        whole-state global sort; view_bs = the shard slice size is the
+        mesh form (`parallel.mesh.shard_state`), where each device's
+        local slice is self-contained — `_push_global_sorted` recovers
+        block-local indices by subtracting the slice minimum (= the
+        block offset), so the same state pushes correctly single-process,
+        under GSPMD jit, and inside shard_map local views.  Returns None
+        when the view-sorted layout fails the blockwise economics."""
+        s = int(layout.shape[0])
+        perm = np.empty(s, np.int32)
         inv = np.empty(s, np.int32)
-        inv[perm] = np.arange(s, dtype=np.int32)
+        sorted_layout = np.empty_like(layout)
+        for b0 in range(0, s, view_bs):
+            b1 = min(b0 + view_bs, s)
+            p = b0 + np.argsort(layout[b0:b1], kind="stable").astype(np.int32)
+            perm[b0:b1] = p
+            inv[p] = np.arange(b0, b1, dtype=np.int32)
+            sorted_layout[b0:b1] = layout[p]
+        if not self._blockwise_auto_decision(sorted_layout):
+            return None
         return (
             jnp.take(tables[0], jnp.asarray(perm), axis=0),
             jnp.asarray(perm),
@@ -923,9 +961,9 @@ class SpectrogramPipeline:
         """Return `state` in external stream order with the palette sort
         dropped (identity for unsorted states): the per-stream tables fall
         back to the plain per-row 1-tuple and, in carry-sort mode, the
-        carry unpermutes.  Use before `parallel.mesh.shard_state` — the
-        stored block-relative permutation cannot cross shard slices, and
-        set_palette never re-sorts a sharded state."""
+        carry unpermutes.  `parallel.mesh.shard_state(state, mesh,
+        pipeline)` calls this before re-sorting PER SHARD SLICE; use it
+        directly to leave the sorted class entirely."""
         pi = self._state_perm(state)
         if pi is None:
             return state
@@ -1076,8 +1114,18 @@ class SpectrogramPipeline:
         logic exists — and unpermute the packed rows once at the end.
         Carry-sort mode only (`_global_sorted_tables` gates creation):
         the carry is at rest globally sorted, so the mag planes come out
-        of the STFT already in table order."""
+        of the STFT already in table order.
+
+        perm/inv hold GLOBAL external indices confined to their view
+        block (`_view_sorted_tables`).  Subtracting the slice minimum
+        maps them to THIS view's local index space: a no-op for whole-
+        state views (min 0, so GSPMD jit over a sharded state stays
+        globally correct too) and the shard-offset removal inside
+        shard_map local views, where this function only ever sees one
+        self-contained block."""
         perm, inv = self._state_perm(state)
+        perm = perm - jnp.min(perm)
+        inv = inv - jnp.min(inv)
         chunk_pl = jnp.take(chunk_pl, perm, axis=0)
         inner = state._replace(tables=(state.tables[0], self._bw_marker()))
         if bs:

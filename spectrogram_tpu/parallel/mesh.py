@@ -106,25 +106,70 @@ def rgba_sharding(mesh: Mesh, packed: bool = False) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def _resort_per_shard(
+    pipeline: SpectrogramPipeline, state: StreamState, n_shards: int
+) -> StreamState:
+    """PER-SHARD palette sort for an external-order state about to be
+    placed on an `n_shards`-device mesh: one stable argsort per shard
+    slice (view blocks = shard slices, perm values global-but-confined,
+    `SpectrogramPipeline._view_sorted_tables`), so every device's local
+    view is self-contained under shard_map and the GSPMD gathers never
+    cross ICI.  Self-gating exactly like set_palette's sharded branch:
+    carry-sort streaming pipelines with the built-in registry, scattered
+    concrete layouts whose shard-sorted form passes the blockwise
+    economics; everything else passes through unchanged."""
+    s = int(state.palette_id.shape[0])
+    if (
+        n_shards <= 1
+        or s % n_shards
+        or not pipeline._palette_sort_eligible(state.tables)
+        or not pipeline.carry_sort_mode
+        or pipeline.blockwise_palettes not in ("auto", True)
+    ):
+        return state
+    layout = np.asarray(state.palette_id, np.int64)
+    if pipeline._blockwise_auto_decision(layout):
+        return state  # already clustered: the marker path needs no gathers
+    st = pipeline._view_sorted_tables(state.tables, layout, s // n_shards)
+    if st is None:
+        return state
+    return state._replace(
+        tables=st, carry=jnp.take(state.carry, st[1], axis=0)
+    )
+
+
 def shard_state(
     state: StreamState, mesh: Mesh, pipeline: SpectrogramPipeline | None = None
 ) -> StreamState:
     """Place an (unsharded) state onto the mesh.  Uniform-palette tables
     ([1, R*4], from a scalar set_palette) replicate — there is no stream
     axis to shard.  Palette-sorted states (palette_sort defaults on) are
-    de-sorted first when `pipeline` is passed — the stored block-relative
-    permutation cannot cross shard slices; once sharded, set_palette never
-    re-sorts."""
-    if sum(1 for t in state.tables if t.ndim == 1 and t.size) >= 2:
+    re-sorted PER SHARD SLICE when `pipeline` is passed: the single-
+    process permutation (block-relative or whole-state) is undone, then
+    each shard slice argsorts independently so scattered multi-tenant
+    layouts keep the blockwise colormap on every chip with no cross-ICI
+    gathers.  Without `pipeline`, sorted states raise (the stored
+    permutation cannot cross shard slices)."""
+    if SpectrogramPipeline._tables_perm(state.tables) is not None:
         if pipeline is None:
             raise ValueError(
                 "palette-sorted states cannot be sharded: the stored sort "
                 "permutation indexes across shard slices.  Pass the "
-                "pipeline (shard_state(state, mesh, pipeline)) or call "
-                "pipeline.unsort_state(state) first — set_palette skips "
-                "sorting on sharded states."
+                "pipeline (shard_state(state, mesh, pipeline)) — it "
+                "re-sorts per shard slice — or call "
+                "pipeline.unsort_state(state) first."
             )
         state = pipeline.unsort_state(state)
+    n_shards = int(mesh.shape[STREAM_AXIS])
+    if pipeline is not None:
+        state = _resort_per_shard(pipeline, state, n_shards)
+    if SpectrogramPipeline._tables_perm(state.tables) is not None:
+        ss = state_shardings(mesh, state.carry.ndim, 0)
+        ss = ss._replace(tables=tuple(
+            NamedSharding(mesh, sp)
+            for sp in _state_tables_specs(state.tables, n_shards)
+        ))
+        return jax.device_put(state, ss)
     n_real = sum(1 for t in state.tables if t.ndim == 2)
     ss = state_shardings(
         mesh, state.carry.ndim, n_real,
@@ -154,17 +199,41 @@ def sharded_init(
     )()
 
 
-def _state_tables_specs(tables: tuple) -> tuple:
+def _perm_shard_confined(perm, n_shards: int) -> bool:
+    """True when a length-4 sort permutation's values stay inside their
+    own shard slice — the PER-SHARD sorted form `shard_state` builds.
+    Whole-state global sorts (values crossing slices) fail: their local
+    views are not self-contained under shard_map."""
+    p = np.asarray(perm)
+    s = p.shape[0]
+    if n_shards <= 0 or s % n_shards:
+        return False
+    bs = s // n_shards
+    blocks = p.reshape(n_shards, bs)
+    lo = np.arange(n_shards, dtype=p.dtype)[:, None] * bs
+    return bool(((blocks >= lo) & (blocks < lo + bs)).all())
+
+
+def _state_tables_specs(tables: tuple, n_shards: int | None = None) -> tuple:
     """P specs for a CONCRETE state's tables tuple: per-stream [S, R*4]
     tables shard over streams; uniform [1, R*4] tables and the zero-size
-    blockwise marker replicate.  Palette-sorted states (two block-relative
-    perm/inv leaves) cannot be sharded — unsort first (`shard_state(state,
-    mesh, pipeline)` or `pipeline.unsort_state`)."""
-    if sum(1 for t in tables if t.ndim == 1 and t.size) >= 2:
+    blockwise marker replicate.  PER-SHARD palette-sorted states (the
+    length-4 tuple `shard_state` builds, perm values confined to shard
+    slices) shard their perm/inv leaves over streams; block-relative
+    length-3 sorted states and whole-state global sorts cannot be
+    sharded — unsort first (`shard_state(state, mesh, pipeline)` or
+    `pipeline.unsort_state`)."""
+    if SpectrogramPipeline._tables_perm(tables) is not None:
+        if SpectrogramPipeline._tables_perm_global(tables) and (
+            n_shards is None or _perm_shard_confined(tables[1], n_shards)
+        ):
+            return (P(STREAM_AXIS, None), P(STREAM_AXIS), P(STREAM_AXIS),
+                    P())
         raise ValueError(
-            "palette-sorted states cannot be sharded: the stored sort "
-            "permutation indexes across shard slices.  Unsort first — "
-            "shard_state(state, mesh, pipeline) or pipeline.unsort_state."
+            "this palette-sorted state cannot be sharded: the stored sort "
+            "permutation indexes across shard slices.  Re-shard through "
+            "shard_state(state, mesh, pipeline) — it unsorts and re-sorts "
+            "PER SHARD SLICE — or call pipeline.unsort_state first."
         )
     return tuple(
         P(STREAM_AXIS, None) if t.ndim == 2 and t.shape[0] != 1 else P()
@@ -189,7 +258,9 @@ def sharded_push(pipeline: SpectrogramPipeline, mesh: Mesh,
     if state is not None:
         ss = ss._replace(tables=tuple(
             NamedSharding(mesh, spec)
-            for spec in _state_tables_specs(state.tables)
+            for spec in _state_tables_specs(
+                state.tables, int(mesh.shape[STREAM_AXIS])
+            )
         ))
     return jax.jit(
         pipeline.push_impl,
@@ -216,7 +287,9 @@ def shard_map_step(pipeline: SpectrogramPipeline, mesh: Mesh,
         palette_id=P(STREAM_AXIS),
         row_count=P(),
         tables=(
-            _state_tables_specs(state.tables) if state is not None
+            _state_tables_specs(
+                state.tables, int(mesh.shape[STREAM_AXIS])
+            ) if state is not None
             else tuple(
                 P(STREAM_AXIS, None) for _ in range(_n_tables(pipeline))
             ) + ((P(),) if _auto_marker(pipeline) else ())
