@@ -12,6 +12,11 @@ stream_blocks at display-mode populations, parity-checked bitwise.
 
 Usage: python benchmarks/exp_blocked_k8.py [S] [bs ...]
 Defaults: S=10240, bs 0 4096 (0 = flat).
+
+RESULT (v5e, S=10,240): first measurement +2.9% for bs=4096 (BASELINE.md
+display-mode row); independent replication flat 41.279 ms vs bs=4096
+39.808 (+3.7%) — neutral-to-mildly-positive, inside the noise band, so
+`stream_blocks="auto"` stays k=1-only.
 """
 import sys
 import pathlib
