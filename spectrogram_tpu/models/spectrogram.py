@@ -105,6 +105,7 @@ class SpectrogramPipeline:
         stream_blocks="auto",
         palette_sort: bool = True,
         sorted_output: bool = False,
+        stft_packed="auto",
     ):
         cfg.validate()
         self.cfg = cfg
@@ -222,6 +223,33 @@ class SpectrogramPipeline:
             and self.fft_plan is not None
             and _sk.lane_pad_default(self.fft_plan)
         )
+        # Packed-complex STFT formulation (round 4 final): stereo-packed
+        # z = l + i*r four-step with the conjugate unpack in-kernel — the
+        # reference's own packing (fft.rs:57,81-92) rebuilt as MXU
+        # structure: stage 1 contracts both channels in one dense K=2m
+        # dot, the unpack reversal is one batched permutation matmul.
+        # Measured -16% standalone vs split-real v4 at the bench plan
+        # (exp_stft_packed, the 160/192 MXU-pass model).  "auto" = on
+        # wherever the flat-2D orientation applies.
+        if stft_packed not in ("auto", True, False):
+            raise ValueError(f"unknown stft_packed {stft_packed!r}")
+        self._stft_packed_arg = stft_packed
+        self.stft_packed = (
+            self.fused_chain
+            and self.fft_plan is not None
+            and _sk.packed_supported(self.fft_plan, self.stft_lane_pad)
+            if stft_packed == "auto"
+            else bool(stft_packed)
+        )
+        if self.stft_packed and not (
+            self.fused_chain
+            and self.fft_plan is not None
+            and _sk.packed_supported(self.fft_plan, self.stft_lane_pad)
+        ):
+            raise ValueError(
+                f"stft_packed=True requires the fused chain and a "
+                f"flat-2D-capable plan (cfg {cfg}, plan={self.fft_plan})"
+            )
         self.carry_transposed = bool(transposed_carry) and (
             self.fused_chain
             and not self.stft_lane_pad
@@ -510,6 +538,13 @@ class SpectrogramPipeline:
         self.stft_lane_pad = (
             self.fused_chain and plan is not None
             and _sk.lane_pad_default(plan)
+        )
+        self.stft_packed = (
+            self.fused_chain
+            and plan is not None
+            and _sk.packed_supported(plan, self.stft_lane_pad)
+            if self._stft_packed_arg == "auto"
+            else bool(self._stft_packed_arg)
         )
         self.carry_transposed = self.carry_transposed and (
             not self.stft_lane_pad
@@ -1294,6 +1329,7 @@ class SpectrogramPipeline:
             precision=self.precision_stft, interpret=self.kernel_interpret,
             plan=self.fft_plan, lane_pad=self.stft_lane_pad,
             padded_layout=self.stft_lane_pad,
+            packed=self.stft_packed,
         )
         if t >= c:
             new_carry = chunk_pl[:, :, t - c:]
@@ -1343,6 +1379,7 @@ class SpectrogramPipeline:
                 block_rows=self.stft_block_rows,
                 lane_pad=self.stft_lane_pad,
                 padded_layout=self.stft_lane_pad,
+                packed=self.stft_packed,
             )  # [S*k, N/2] incl DC (padded bin layout when stft_lane_pad)
         return self._fused_tail(state, mag_l, mag_r, new_carry, s)
 

@@ -254,6 +254,147 @@ def _padded_stage1_constants(plan: FftPlan):
     return f2p, twp, f1blk
 
 
+def packed_supported(plan: FftPlan, lane_pad: bool = False) -> bool:
+    """True when the packed-complex (stereo-packed) kernel formulation
+    applies: even n1 and a flat-2D-capable output (direct flip gate or the
+    padded-lane flip), since the conjugate unpack writes per-k1 128-aligned
+    lane slices exactly like `_fft_channel_2d`.
+
+    The formulation is the reference's own stereo packing (z = l + i*r,
+    one complex FFT, conjugate-symmetry unpack; fft.rs:57,81-92), rebuilt
+    as MXU structure: stage 1 contracts BOTH channels in one K=2m dot
+    (dense 128-wide at the bench plan vs split-real's two half-empty K=m
+    dots), stage 2 runs the full n1-point DFT once, and the unpack's
+    index reversal is one batched [*, n2o] x [n2o, n2o] permutation
+    matmul over VMEM values.  Pass-count model per TS row block:
+    split-real 192 MXU passes -> packed 160 (prediction -17%; measured
+    better, see exp_stft_packed).  Round-1 rejected stereo packing as an
+    XLA-level path because the unpack reverse cost HBM passes
+    (mxu_fft.stft_rows_split_planar); in-kernel the economics invert."""
+    return plan.n1 % 2 == 0 and (lane_pad or flip_supported(plan))
+
+
+@functools.lru_cache(maxsize=32)
+def _packed_plan_constants(plan: FftPlan, lane_pad: bool = False):
+    """(f2p, twcat, f1full, prev) for the packed-complex kernel.
+
+    f2p [2m, 2*n2o]: [[f2r | f2i], [-f2i | f2r]] — the complex stage-1 DFT
+        on z = l + i*r as ONE dense contraction over both channel windows.
+    twcat [n1, 2*n2o]: the usual twiddle (applied once, not per channel).
+    f1full [2n1, 2n1]: [[f1r, f1i], [-f1i, f1r]] with the FULL n1-point
+        stage-2 DFT — the unpack needs all k1 rows of Z, not the half
+        spectrum (Z[-k] lives in the upper rows).
+    prev [n2o, n2o]: lane-reversal permutation, prev[n2-k2, k2] = 1 for
+        k2 = 1..n2-1; column 0 zero — bin (k1, 0)'s conjugate partner sits
+        at row (n1-k1) % n1 lane 0 and is patched in with a mask.  Under
+        lane_pad the wrap is at the LOGICAL n2 (e.g. 120 inside 128 lanes,
+        the tuned 2400/4800 plan), which a matmul expresses for free and a
+        vector roll cannot.
+    """
+    n2, n2o = plan.n2, padded_n2(plan) if lane_pad else plan.n2
+    m, n1 = plan.m, plan.n1
+    i2 = np.arange(m)[:, None] * np.arange(n2)[None, :]
+    f2 = np.exp(-2j * np.pi * i2 / n2)
+    f2r = np.zeros((m, n2o), np.float32)
+    f2i = np.zeros((m, n2o), np.float32)
+    f2r[:, :n2] = f2.real
+    f2i[:, :n2] = f2.imag
+    f2p = np.block([[f2r, f2i], [-f2i, f2r]]).astype(np.float32)
+    it = np.arange(n1)[:, None] * np.arange(n2)[None, :]
+    tw = np.exp(-2j * np.pi * it / plan.n)
+    twcat = np.zeros((n1, 2 * n2o), np.float32)
+    twcat[:, :n2] = tw.real
+    twcat[:, n2o : n2o + n2] = tw.imag
+    i1 = np.arange(n1)[:, None] * np.arange(n1)[None, :]
+    f1 = np.exp(-2j * np.pi * i1 / n1)
+    f1full = np.block(
+        [[f1.real, f1.imag], [-f1.imag, f1.real]]
+    ).astype(np.float32)                                     # [2n1, 2n1]
+    prev = np.zeros((n2o, n2o), np.float32)
+    for k2 in range(1, n2):
+        prev[n2 - k2, k2] = 1.0
+    return f2p, twcat, f1full, prev
+
+
+def _packed_hann(w: int, m: int, n1: int, transposed: bool) -> "np.ndarray":
+    """Hann with 1/w folded (the 2/w output scale times the unpack's 1/2 —
+    an exact exponent shift for power-of-two windows), doubled over the
+    channel halves: [n1, 2m] for transposed operands, [2m, n1] otherwise."""
+    h = _scaled_hann(w, m, n1) * 0.5                         # [m, n1]
+    if transposed:
+        return np.ascontiguousarray(np.concatenate([h.T, h.T], axis=1))
+    return np.concatenate([h, h], axis=0)
+
+
+def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
+                     *, plan, precision, transposed, lane_pad):
+    """Packed-complex four-step + conjugate unpack on an already-Hann'd
+    zcat ([ts, n1, 2m] when transposed, else [ts, 2m, n1]); returns
+    (rows_l, rows_r): k1h [ts, n2o] magnitude rows each (flat bin
+    k = k1*n2 + k2; padded lanes exact zeros under lane_pad).
+
+    Unpack index map (mxu_fft._plan_constants: flat bin k = n2*k1 + k2):
+    -k mod N = (n1-1-k1, n2-k2) for k2 >= 1 and ((n1-k1) % n1, 0) for
+    k2 = 0 — the k2 reversal is the `prev` matmul batched over the rows
+    that feed it, the k2=0 column is patched from row (n1-k1) % n1 = the
+    reversal row + 1 mod n1, and conj() folds into the unpack signs:
+      L = |Z[k] + conj(Z[-k])| / 2,  R = |Z[k] - conj(Z[-k])| / 2
+    (fft.rs:81-92; the 1/2 lives in the Hann constant)."""
+    n1, n2 = plan.n1, plan.n2
+    n2o = padded_n2(plan) if lane_pad else n2
+    k1h = n1 // 2
+    kw = dict(preferred_element_type=jnp.float32, precision=precision)
+    contract = ((2,), (0,)) if transposed else ((1,), (0,))
+    b = jax.lax.dot_general(zcat, f2p_ref[:], (contract, ((), ())), **kw)
+    br, bi = b[..., :n2o], b[..., n2o:]                # [ts, n1, n2o]
+    twr, twi = twcat_ref[:, :n2o], twcat_ref[:, n2o:]
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+    c_cat = jnp.concatenate([cr, ci], axis=1)          # [ts, 2n1, n2o]
+    d = jax.lax.dot_general(
+        f1full_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
+    )                                                  # [2n1, ts, n2o]
+    # Reversed-lane rows for the unpack: rows k1h..n1-1 of both components
+    # through the permutation matmul (ONE batched dot: 32 MXU passes/row
+    # at the bench plan vs 128 for the two stages).
+    d_hi = jnp.concatenate([d[k1h:n1], d[n1 + k1h :]], axis=0)
+    zm_all = jax.lax.dot_general(
+        d_hi, prev_ref[:], (((2,), (0,)), ((), ())), **kw
+    )                                                  # [n1, ts, n2o]
+    e0 = (jax.lax.broadcasted_iota(jnp.int32, (1, n2o), 1) == 0).astype(
+        jnp.float32
+    )
+    rows_l, rows_r = [], []
+    for k1 in range(k1h):
+        ar, ai = d[k1], d[n1 + k1]                     # Z[k1]
+        j2 = (n1 - k1) % n1                            # lane-0 source row
+        zmr = zm_all[k1h - 1 - k1] + d[j2] * e0        # Z[-k] (pre-conj)
+        zmi = zm_all[n1 - 1 - k1] + d[n1 + j2] * e0
+        rows_l.append(jnp.sqrt((ar + zmr) ** 2 + (ai - zmi) ** 2))
+        rows_r.append(jnp.sqrt((ar - zmr) ** 2 + (ai + zmi) ** 2))
+    return rows_l, rows_r
+
+
+def _kernel_packed_2d(
+    left_ref, right_ref, hann_ref, f2p_ref, twcat_ref, f1full_ref, prev_ref,
+    out_l_ref, out_r_ref, *, plan, precision, lane_pad=False,
+):
+    """Packed-complex kernel body, transposed window planes ([TS, n1, m]
+    per channel — the production operand layout; the lane concat into
+    [TS, n1, 2m] happens on loaded VMEM values and measured free,
+    exp_stft_packed pk_ik), flat 2D outputs."""
+    n2o = padded_n2(plan) if lane_pad else plan.n2
+    zcat = jnp.concatenate([left_ref[:], right_ref[:]], axis=2)
+    zcat = zcat * hann_ref[:]
+    rows_l, rows_r = _packed_mag_rows(
+        zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
+        plan=plan, precision=precision, transposed=True, lane_pad=lane_pad,
+    )
+    for k1, (ol, orr) in enumerate(zip(rows_l, rows_r)):
+        out_l_ref[:, k1 * n2o : (k1 + 1) * n2o] = ol
+        out_r_ref[:, k1 * n2o : (k1 + 1) * n2o] = orr
+
+
 def lane_pad_default(plan: FftPlan) -> bool:
     """Default for the padded-lane flip: on when the direct flip gate fails
     AND the padding is physically free — both stage-1 halves already
@@ -268,7 +409,7 @@ def lane_pad_default(plan: FftPlan) -> bool:
     jax.jit,
     static_argnames=(
         "cfg", "block_rows", "precision", "interpret", "slice_bins", "plan",
-        "lane_pad", "padded_layout", "out_2d",
+        "lane_pad", "padded_layout", "out_2d", "packed",
     ),
 )
 def stft_mag_fused2(
@@ -283,6 +424,7 @@ def stft_mag_fused2(
     lane_pad: bool | None = None,
     padded_layout: bool = False,
     out_2d: bool | None = None,
+    packed: bool = False,
 ):
     """Fused four-step STFT: (magL, magR) each [N, num_bins], or the full
     [N, N/2] half-spectrum (bin index k = padded-FFT bin k, DC included)
@@ -354,10 +496,27 @@ def stft_mag_fused2(
     if out_2d is None:
         out_2d = lane_pad or flip_supported(plan)
     out_2d = out_2d and (lane_pad or flip_supported(plan))
-    kernel = functools.partial(
-        _kernel2_2d if out_2d else _kernel2,
-        plan=plan, precision=precision, transposed=True, lane_pad=lane_pad,
-    )
+    if packed:
+        if not packed_supported(plan, lane_pad):
+            raise ValueError(
+                f"packed formulation unsupported for plan {plan} "
+                f"(lane_pad={lane_pad})"
+            )
+        out_2d = True
+        hann2 = _packed_hann(w, m, n1, transposed=True)      # [n1, 2m]
+        f2cat, twcat, f1full, prev = _packed_plan_constants(plan, lane_pad)
+        kernel = functools.partial(
+            _kernel_packed_2d, plan=plan, precision=precision,
+            lane_pad=lane_pad,
+        )
+        extra_consts = (f1full, prev)
+    else:
+        extra_consts = None
+        kernel = functools.partial(
+            _kernel2_2d if out_2d else _kernel2,
+            plan=plan, precision=precision, transposed=True,
+            lane_pad=lane_pad,
+        )
     if out_2d:
         out_spec = pl.BlockSpec((ts, half_o), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
@@ -366,17 +525,18 @@ def stft_mag_fused2(
         out_spec = pl.BlockSpec((ts, n1 // 2, n2o), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_sds = jax.ShapeDtypeStruct((n_pad, n1 // 2, n2o), jnp.float32)
+    consts = (
+        [hann2, f2cat, twcat, *extra_consts]
+        if packed
+        else [hann2, f2cat, twcat, f1blk]
+    )
     mag_l, mag_r = pl.pallas_call(
         kernel,
         grid=(n_pad // ts,),
         in_specs=[
             pl.BlockSpec((ts, n1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, n1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const_spec(hann2),
-            const_spec(f2cat),
-            const_spec(twcat),
-            const_spec(f1blk),
-        ],
+        ] + [const_spec(c) for c in consts],
         out_specs=[out_spec, out_spec],
         out_shape=[out_sds, out_sds],
         cost_estimate=pl.CostEstimate(
@@ -385,8 +545,7 @@ def stft_mag_fused2(
             transcendentals=2 * n_pad * half_o,
         ),
         interpret=interpret,
-    )(left3, right3, jnp.asarray(hann2), jnp.asarray(f2cat), jnp.asarray(twcat),
-      jnp.asarray(f1blk))
+    )(left3, right3, *[jnp.asarray(c) for c in consts])
     if padded_layout:
         return mag_l.reshape(n_pad, half_o)[:n], mag_r.reshape(n_pad, half_o)[:n]
     if lane_pad:
@@ -573,11 +732,46 @@ def _allk_kernel(
             )
 
 
+def _allk_kernel_packed(
+    bl_ref,      # [TS, R, n1] f32 — left-channel carry+chunk buffer rows
+    br_ref,      # [TS, R, n1] f32 — right channel
+    hann_ref, f2p_ref, twcat_ref, f1full_ref, prev_ref,
+    out_l_ref,   # [k, TS, half_o] flat per-window magnitude rows
+    out_r_ref,
+    *, plan, k, hop_rows, precision, lane_pad, carry_rows=0,
+    out_carry_ref=None,
+):
+    """Packed-complex all-windows body: the _allk_kernel window slicing
+    with the stereo-packed four-step per window (see _packed_mag_rows) —
+    stage 1 contracts both channels in one dense K=2m dot.  Requires the
+    flat-2D output layout (packed_supported)."""
+    m = plan.m
+    n2o = padded_n2(plan) if lane_pad else plan.n2
+    vl = bl_ref[:]                                   # [ts, R, n1]
+    vr = br_ref[:]
+    if out_carry_ref is not None:
+        out_carry_ref[:, 0] = vl[:, vl.shape[1] - carry_rows :]
+        out_carry_ref[:, 1] = vr[:, vr.shape[1] - carry_rows :]
+    hann = hann_ref[:]                               # [2m, n1]
+    for r in range(k):
+        xl = vl[:, r * hop_rows : r * hop_rows + m, :]
+        xr = vr[:, r * hop_rows : r * hop_rows + m, :]
+        zcat = jnp.concatenate([xl, xr], axis=1) * hann   # [ts, 2m, n1]
+        rows_l, rows_r = _packed_mag_rows(
+            zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
+            plan=plan, precision=precision, transposed=False,
+            lane_pad=lane_pad,
+        )
+        for k1, (ol, orr) in enumerate(zip(rows_l, rows_r)):
+            out_l_ref[r, :, k1 * n2o : (k1 + 1) * n2o] = ol
+            out_r_ref[r, :, k1 * n2o : (k1 + 1) * n2o] = orr
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "k", "block_rows", "precision", "interpret", "plan",
-        "lane_pad", "padded_layout", "emit_carry",
+        "lane_pad", "padded_layout", "emit_carry", "packed",
     ),
 )
 def stft_mag_fused2_allk(
@@ -592,6 +786,7 @@ def stft_mag_fused2_allk(
     lane_pad: bool | None = None,
     padded_layout: bool = False,
     emit_carry: bool = False,
+    packed: bool = False,
 ):
     """All-windows fused STFT off per-channel carry+chunk planes (see
     _allk_kernel).  Requires `split_framing_supported` (hop % n1 == 0 —
@@ -626,23 +821,38 @@ def stft_mag_fused2_allk(
     r_rows = tlen // n1
     bl3 = buf_l.reshape(s_pad, r_rows, n1)
     br3 = buf_r.reshape(s_pad, r_rows, n1)
-    hann2 = _scaled_hann(w, m, n1)
-    if lane_pad:
-        f2cat, twcat, f1blk = _padded_stage1_constants(plan)
+    if packed:
+        if not packed_supported(plan, lane_pad):
+            raise ValueError(
+                f"packed formulation unsupported for plan {plan} "
+                f"(lane_pad={lane_pad})"
+            )
+        hann2 = _packed_hann(w, m, n1, transposed=False)     # [2m, n1]
+        f2cat, twcat, f1full, prev = _packed_plan_constants(plan, lane_pad)
+        consts = [hann2, f2cat, twcat, f1full, prev]
+        kernel = functools.partial(
+            _allk_kernel_packed, plan=plan, k=k, hop_rows=h // n1,
+            precision=precision, lane_pad=lane_pad, carry_rows=c_rows,
+        )
     else:
-        from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
+        hann2 = _scaled_hann(w, m, n1)
+        if lane_pad:
+            f2cat, twcat, f1blk = _padded_stage1_constants(plan)
+        else:
+            from spectrogram_tpu.ops.mxu_fft import _block_plan_constants
 
-        f2cat, twr, twi, f1blk = _block_plan_constants(plan)
-        twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)
+            f2cat, twr, twi, f1blk = _block_plan_constants(plan)
+            twcat = np.concatenate([twr, twi], axis=1).astype(np.float32)
+        consts = [hann2, f2cat, twcat, f1blk]
+        kernel = functools.partial(
+            _allk_kernel, plan=plan, k=k, hop_rows=h // n1,
+            precision=precision, lane_pad=lane_pad, carry_rows=c_rows,
+        )
 
     def const_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(
-        _allk_kernel, plan=plan, k=k, hop_rows=h // n1, precision=precision,
-        lane_pad=lane_pad, carry_rows=c_rows,
-    )
     if lane_pad or flip_supported(plan):
         # flat per-window rows (see _allk_kernel's out_2d path)
         out_spec = pl.BlockSpec((k, ts, half_o), lambda i: (0, i, 0),
@@ -673,11 +883,7 @@ def stft_mag_fused2_allk(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, r_rows, n1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            const_spec(hann2),
-            const_spec(f2cat),
-            const_spec(twcat),
-            const_spec(f1blk),
-        ],
+        ] + [const_spec(c) for c in consts],
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -686,8 +892,7 @@ def stft_mag_fused2_allk(
             transcendentals=2 * k * s_pad * half_o,
         ),
         interpret=interpret,
-    )(bl3, br3, jnp.asarray(hann2), jnp.asarray(f2cat), jnp.asarray(twcat),
-      jnp.asarray(f1blk))
+    )(bl3, br3, *[jnp.asarray(c) for c in consts])
     mag_l, mag_r = outs[0], outs[1]
     if s_pad != s:
         mag_l, mag_r = mag_l[:, :s], mag_r[:, :s]

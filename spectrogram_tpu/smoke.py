@@ -26,7 +26,10 @@ Classes pinned here (each exercises a distinct compile path):
   transposed    — transposed-carry state format (4D kernel operand)
   tsplit        — split-state k=1 framing (boundary-split dots, in-kernel
                   unaligned static lane-dim carry stores)
-  k1            — chunk_hops=1 (channel planes ARE the window operands)
+  k1            — chunk_hops=1 (channel planes ARE the window operands);
+                  packed-complex formulation (the round-4-final default)
+  packed_off    — split-real v4 on the same plan (stft_packed=False):
+                  the fallback orientation keeps compiling
   blockwise_auto — blockwise_palettes="auto": clustered layout takes the
                   scalar-prefetch blockwise kernel (marker present),
                   scattered stays per-row; bitwise vs blockwise=False
@@ -137,6 +140,7 @@ def class_flip(rng):
         "bench plan lost the flip path"
     )
     assert p.allk_framing, "bench k=8 lost the all-windows framing kernel"
+    assert p.stft_packed, "bench plan lost the packed-complex default"
     _, rows = _push_twice(p, 256, rng, palette_ids=np.arange(256) % 19)
     return p, rows
 
@@ -172,6 +176,7 @@ def class_lane_pad(rng):
     assert p.fused_chain and p.stft_lane_pad, (
         "reference 2400/4800 geometry lost the padded-lane flip"
     )
+    assert p.stft_packed, "2400/4800 lost the packed-complex default"
     _, rows = _push_twice(p, 256, rng, palette_ids=np.arange(256) % 19)
     return p, rows
 
@@ -257,6 +262,18 @@ def class_tsplit(rng):
 def class_k1(rng):
     p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
             packed_output=True)
+    assert p.stft_packed, "bench k=1 lost the packed-complex default"
+    _push_twice(p, 256, rng)
+
+
+def class_packed_off(rng):
+    """Split-real v4 on the bench plan (stft_packed=False): packed-complex
+    is the default wherever the flat-2D orientation applies (round 4
+    final), but the split-real formulation stays reachable (knob + any
+    plan without the flat-2D orientation) and must keep compiling."""
+    p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+            packed_output=True, stft_packed=False)
+    assert not p.stft_packed
     _push_twice(p, 256, rng)
 
 
@@ -400,6 +417,7 @@ CLASSES = (
     ("transposed", class_transposed),
     ("tsplit", class_tsplit),
     ("k1", class_k1),
+    ("packed_off", class_packed_off),
     ("blockwise_auto", class_blockwise_auto),
     ("palette_sort", class_palette_sort),
     ("global_sort", class_global_sort),

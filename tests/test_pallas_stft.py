@@ -331,3 +331,127 @@ def test_tsplit_lane_pad_matches(rng):
     ref = SpectrogramConfig(sample_rate=48000.0, window_period=0.05)
     assert not stft_kernel.tsplit_supported(
         ref, 1, stft_kernel.make_plan(ref), lane_pad=True)
+
+
+def test_packed_matches_golden(rng):
+    """Packed-complex formulation (round-4 final, exp_stft_packed): the
+    stereo-packed four-step + conjugate unpack must match the golden model
+    to float tolerance, and the plane/allk packed paths must be BITWISE
+    equal to each other (same sums, different operand layouts)."""
+    from spectrogram_tpu.ops.mxu_fft import FftPlan
+
+    plan = FftPlan(n=512, n1=4, n2=128, m=64)   # flip-capable at W=256
+    assert stft_kernel.packed_supported(plan)
+    n = 8
+    w = CFG.window_size
+    pcm = (rng.standard_normal((n, w, 2)) * 0.3).astype(np.float32)
+    golden = np.asarray(stft.stft_frame_planar(jnp.asarray(pcm), CFG))
+    mag_l, mag_r = stft_kernel.stft_mag_fused2(
+        jnp.asarray(pcm[:, :, 0]), jnp.asarray(pcm[:, :, 1]), CFG,
+        block_rows=4, interpret=True, plan=plan, packed=True,
+    )
+    np.testing.assert_allclose(np.asarray(mag_l), golden[:, 0],
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mag_r), golden[:, 1],
+                               atol=3e-5, rtol=1e-4)
+    # allk packed vs plane packed: bitwise
+    k, h = 3, CFG.hop_size
+    tlen = w + (k - 1) * h
+    buf_l = rng.standard_normal((5, tlen)).astype(np.float32) * 0.3
+    buf_r = rng.standard_normal((5, tlen)).astype(np.float32) * 0.3
+    al, ar = stft_kernel.stft_mag_fused2_allk(
+        jnp.asarray(buf_l), jnp.asarray(buf_r), CFG, k=k, interpret=True,
+        plan=plan, packed=True)
+    lefts = np.concatenate([buf_l[:, r*h:r*h+w] for r in range(k)], axis=0)
+    rights = np.concatenate([buf_r[:, r*h:r*h+w] for r in range(k)], axis=0)
+    rl, rr = stft_kernel.stft_mag_fused2(
+        jnp.asarray(lefts), jnp.asarray(rights), CFG, interpret=True,
+        slice_bins=False, plan=plan, packed=True)
+    np.testing.assert_array_equal(np.asarray(al), np.asarray(rl))
+    np.testing.assert_array_equal(np.asarray(ar), np.asarray(rr))
+    # allk packed vs split-real: float-level (different association)
+    sl, sr = stft_kernel.stft_mag_fused2_allk(
+        jnp.asarray(buf_l), jnp.asarray(buf_r), CFG, k=k, interpret=True,
+        plan=plan)
+    np.testing.assert_allclose(np.asarray(al), np.asarray(sl),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ar), np.asarray(sr),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_packed_lane_pad_matches(rng):
+    """Packed + padded-lane flip on the reference-native 2400/4800 plan:
+    padded positions exact zeros, true bins match the split-real lane_pad
+    path to float tolerance."""
+    cfg = SpectrogramConfig(sample_rate=48000.0, window_period=0.05)
+    plan = stft_kernel.make_plan(cfg)
+    assert not stft_kernel.flip_supported(plan)
+    assert stft_kernel.packed_supported(plan, lane_pad=True)
+    assert not stft_kernel.packed_supported(plan, lane_pad=False)
+    n = 6
+    left = rng.standard_normal((n, 2400)).astype(np.float32) * 0.3
+    right = rng.standard_normal((n, 2400)).astype(np.float32) * 0.3
+    a_l, a_r = stft_kernel.stft_mag_fused2(
+        jnp.asarray(left), jnp.asarray(right), cfg, interpret=True,
+        slice_bins=False, lane_pad=True)
+    p_l, p_r = stft_kernel.stft_mag_fused2(
+        jnp.asarray(left), jnp.asarray(right), cfg, interpret=True,
+        slice_bins=False, lane_pad=True, packed=True)
+    for a, b in ((a_l, p_l), (a_r, p_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-6)
+    # padded layout: pad lanes exact zeros
+    lp, _ = stft_kernel.stft_mag_fused2(
+        jnp.asarray(left), jnp.asarray(right), cfg, interpret=True,
+        slice_bins=False, lane_pad=True, padded_layout=True, packed=True)
+    n2, n2p, k1h = plan.n2, stft_kernel.padded_n2(plan), plan.n1 // 2
+    lp3 = np.asarray(lp).reshape(n, k1h, n2p)
+    np.testing.assert_array_equal(lp3[:, :, n2:], 0.0)
+    np.testing.assert_array_equal(
+        lp3[:, :, :n2].reshape(n, -1), np.asarray(p_l))
+
+
+def test_packed_gates():
+    """packed_supported mirrors the flat-2D orientation gate; unsupported
+    plans raise instead of silently falling back."""
+    import pytest
+    from spectrogram_tpu.ops.mxu_fft import FftPlan
+
+    plan = stft_kernel.make_plan(CFG)       # 16x32: no flip, no free pad
+    assert not stft_kernel.packed_supported(plan)
+    with pytest.raises(ValueError, match="packed"):
+        stft_kernel.stft_mag_fused2(
+            jnp.zeros((4, CFG.window_size)), jnp.zeros((4, CFG.window_size)),
+            CFG, interpret=True, packed=True)
+    # odd n1 never packs
+    assert not stft_kernel.packed_supported(
+        FftPlan(n=512, n1=3, n2=171, m=85), lane_pad=True)
+
+
+def test_pipeline_packed_auto_routing(rng):
+    """stft_packed='auto' engages exactly where the plan supports the
+    flat-2D orientation; the packed pipeline matches the split-real one at
+    float tolerance end-to-end."""
+    from spectrogram_tpu.config import BENCH_CONFIG
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    pipe = SpectrogramPipeline(CFG, chunk_hops=2, kernel_interpret=True)
+    assert not pipe.stft_packed      # 16x32 plan: no flat-2D orientation
+    on = SpectrogramPipeline(BENCH_CONFIG, chunk_hops=1,
+                             stft_backend="pallas",
+                             kernel_interpret=True, viewport_rows=4)
+    assert on.stft_packed            # 32x128: direct flip
+    off = SpectrogramPipeline(BENCH_CONFIG, chunk_hops=1,
+                              stft_backend="pallas",
+                              kernel_interpret=True, viewport_rows=4,
+                              stft_packed=False)
+    s_on = on.init_state(2)
+    s_off = off.init_state(2)
+    chunk = (rng.standard_normal((2, on.chunk_size, 2)) * 0.3).astype(
+        np.float32)
+    _, rgba_on = on.push(s_on, jnp.asarray(chunk))
+    _, rgba_off = off.push(s_off, jnp.asarray(chunk))
+    # packed RGBA int32 words: unpack to bytes for a per-channel bound
+    a = np.asarray(rgba_on).view(np.uint8).reshape(-1, 4).astype(np.int32)
+    b = np.asarray(rgba_off).view(np.uint8).reshape(-1, 4).astype(np.int32)
+    assert np.abs(a - b).max() <= 1   # ulp-level mag shift -> <= 1 u8 step
