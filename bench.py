@@ -54,6 +54,12 @@ def main() -> None:
         store_ring=False,
         colormap_backend=os.environ.get("BENCH_COLORMAP", "auto"),
         stft_backend=os.environ.get("BENCH_STFT", "auto"),
+        # BENCH_STFT_PACKED: packed-complex STFT formulation (round-4
+        # final default "auto" = on where the flat-2D orientation applies;
+        # 0 pins split-real v4 for on-hardware A/Bs of the production push)
+        stft_packed={"auto": "auto", "0": False, "1": True}[
+            os.environ.get("BENCH_STFT_PACKED", "auto")
+        ],
         packed_output=True,  # RGBA8888 i32 wire format (production config)
         # "fast" relaxes only the colormap resample matmul to bf16 (its
         # all-positive contraction bounds the error at ~0.4% relative — on

@@ -58,6 +58,12 @@ def main() -> None:
         "production host's; rows stay on device)",
     )
     ap.add_argument(
+        "--wire-int16", action="store_true", dest="wire_int16",
+        help="drain the ingest bank as RAW int16 and scale 1/32768 on "
+        "device (bit-identical to the f32 drain): HALF the host->device "
+        "bytes per push — the production wire format for PCM sources",
+    )
+    ap.add_argument(
         "--palette-sort", action="store_true", dest="palette_sort",
         help="multi-tenant scattered palettes + sorted_output: set a "
         "worst-case scattered layout (the library's palette_sort — default "
@@ -125,11 +131,12 @@ def main() -> None:
         readback="probe" if args.probe_readback else "full",
         copy_chunks=False,
     )
-    pool = ChunkPool.for_feeder(feeder, s)
+    wire = np.int16 if args.wire_int16 else np.float32
+    pool = ChunkPool.for_feeder(feeder, s, dtype=wire)
 
     # Warm up (compile) BEFORE opening the ingest: first-compile latency
     # would otherwise overflow every ring (drops counted, but pointless).
-    warm = np.zeros((s, 2, pipeline.chunk_size), np.float32)
+    warm = np.zeros((s, 2, pipeline.chunk_size), wire)
     t0 = time.perf_counter()
     feeder.push(warm)
     feeder.flush()
@@ -152,7 +159,11 @@ def main() -> None:
             time.sleep(0.001)
             continue
         t0 = time.perf_counter()
-        chunk, _ = bank.pop_matrix_f32_planar(pipeline.chunk_size, pool.next())
+        chunk, _ = (
+            bank.pop_matrix_i16_planar(pipeline.chunk_size, pool.next())
+            if args.wire_int16
+            else bank.pop_matrix_f32_planar(pipeline.chunk_size, pool.next())
+        )
         done = feeder.push(chunk)
         if done is not None:
             rows_out += done.shape[0] * done.shape[1]

@@ -52,13 +52,19 @@ class ChunkPool:
 
     @classmethod
     def for_feeder(
-        cls, feeder: "DeviceFeeder", n_streams: int
+        cls, feeder: "DeviceFeeder", n_streams: int, dtype=np.float32
     ) -> "ChunkPool":
         """Pool sized depth+1 with the feeder's chunk geometry ([S, 2, n]
-        planar or [S, n, 2] interleaved)."""
+        planar or [S, n, 2] interleaved).
+
+        dtype=np.int16 is the HALF-BANDWIDTH wire path: drain raw PCM words
+        with `RingBank16.pop_matrix_i16_planar(n, out=buf)` and push the
+        int16 block as-is — the pipeline scales by 1/32768 on device
+        (SpectrogramPipeline._chunk_f32), bit-identical to the f32 drain's
+        host-side conversion, at half the host->device transfer bytes."""
         n = feeder.pipeline.chunk_size
         shape = (n_streams, 2, n) if feeder.planar else (n_streams, n, 2)
-        return cls(feeder.depth + 1, shape)
+        return cls(feeder.depth + 1, shape, dtype)
 
     def next(self) -> np.ndarray:
         """Hand out the next buffer in rotation (caller fills then pushes)."""

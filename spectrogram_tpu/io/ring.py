@@ -405,6 +405,9 @@ class RingBank16:
         lib.bank16_pop_matrix_f32_planar.argtypes = [
             ctypes.c_void_p, _f32p, _u64, _u64p, _u64
         ]
+        lib.bank16_pop_matrix_i16_planar.argtypes = [
+            ctypes.c_void_p, _i16p, _u64, _u64p, _u64
+        ]
         lib.bank16_min_size.restype = _u64
         lib.bank16_min_size.argtypes = [ctypes.c_void_p]
         lib.bank16_reset.argtypes = [ctypes.c_void_p, _u64]
@@ -499,6 +502,26 @@ class RingBank16:
         counts = np.empty((self.n_streams,), np.uint64)
         self._lib.bank16_pop_matrix_f32_planar(
             self._handle, out.ctypes.data_as(_f32p), _u64(n),
+            counts.ctypes.data_as(_u64p), _u64(self.n_threads),
+        )
+        return out, counts
+
+    def pop_matrix_i16_planar(self, n: int, out: Optional[np.ndarray] = None):
+        """Planar [S, 2, n] RAW int16 drain (no conversion): the wire-dtype
+        path — push the int16 block to the device as-is (HALF the
+        host->device bytes of the f32 drain) and let the jitted push scale
+        by 1/32768 on-device (`SpectrogramPipeline.push*` accept int16
+        chunks; the multiply fuses into the framing pass)."""
+        if out is None:
+            out = np.empty((self.n_streams, 2, n), np.int16)
+        elif (out.shape != (self.n_streams, 2, n)
+              or out.dtype != np.int16 or not out.flags.c_contiguous):
+            raise ValueError(
+                f"out must be C-contiguous int16 {(self.n_streams, 2, n)}"
+            )
+        counts = np.empty((self.n_streams,), np.uint64)
+        self._lib.bank16_pop_matrix_i16_planar(
+            self._handle, out.ctypes.data_as(_i16p), _u64(n),
             counts.ctypes.data_as(_u64p), _u64(self.n_threads),
         )
         return out, counts

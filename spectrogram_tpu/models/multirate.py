@@ -65,6 +65,7 @@ class StreamGroupManager:
         ingest: bool = False,
         ring_capacity: int = 16384,
         feeder_depth: int = 2,
+        wire_int16: bool = False,
         **pipeline_kwargs,
     ):
         self.group_capacity = int(group_capacity)
@@ -77,6 +78,10 @@ class StreamGroupManager:
         self.ingest = bool(ingest)
         self.ring_capacity = int(ring_capacity)
         self.feeder_depth = int(feeder_depth)
+        # wire_int16: drain each group's bank as RAW int16 and scale on
+        # device (half the host->device bytes per tick; bit-identical —
+        # see RingBank16.pop_matrix_i16_planar / DESIGN.md host-ingest)
+        self.wire_int16 = bool(wire_int16)
         self._groups: dict[SpectrogramConfig, StreamGroup] = {}
         self._locations: dict[int, tuple[SpectrogramConfig, int]] = {}
         self._next_id = 0
@@ -104,7 +109,8 @@ class StreamGroupManager:
                     copy_chunks=False,
                 )
                 group.pinned = ChunkPool.for_feeder(
-                    group.feeder, self.group_capacity
+                    group.feeder, self.group_capacity,
+                    dtype=np.int16 if self.wire_int16 else np.float32,
                 )
             self._groups[cfg] = group
         # Reuse a tombstoned slot before growing (long-running services churn
@@ -221,8 +227,12 @@ class StreamGroupManager:
             if now < group.next_due:
                 continue
             buf = group.pinned.next()
-            chunk, _counts = group.bank.pop_matrix_f32_planar(
-                group.pipeline.chunk_size, buf
+            chunk, _counts = (
+                group.bank.pop_matrix_i16_planar(
+                    group.pipeline.chunk_size, buf)
+                if self.wire_int16
+                else group.bank.pop_matrix_f32_planar(
+                    group.pipeline.chunk_size, buf)
             )
             done = group.feeder.push(chunk)
             group.state = group.feeder.state

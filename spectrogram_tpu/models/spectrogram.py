@@ -1100,13 +1100,26 @@ class SpectrogramPipeline:
         transpose at the ingestion edge."""
         return self.push_planar_impl(state, chunk_planar)
 
+    @staticmethod
+    def _chunk_f32(chunk: jax.Array) -> jax.Array:
+        """Wire-dtype edge: float chunks cast to f32; int16 chunks are raw
+        PCM words and scale by 1/32768 ON DEVICE (exactly the scale the
+        native bank's f32 drains apply host-side, ring_buffer.cpp
+        pop16_range_planar) — pushing int16 halves the host->device
+        transfer bytes and the multiply fuses into the framing pass.
+        The dtype is part of the traced aval, so each wire format compiles
+        its own graph; no runtime branch exists."""
+        if chunk.dtype == jnp.int16:
+            return chunk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        return chunk.astype(jnp.float32)
+
     def push_planar_impl(self, state: StreamState, chunk_planar: jax.Array):
         if chunk_planar.ndim != 3 or chunk_planar.shape[1:] != (2, self.chunk_size):
             raise ValueError(
                 f"planar chunk must be [S, 2, {self.chunk_size}]; got "
                 f"{chunk_planar.shape}"
             )
-        return self._push_core(state, chunk_planar.astype(jnp.float32))
+        return self._push_core(state, self._chunk_f32(chunk_planar))
 
     def push_impl(self, state: StreamState, chunk: jax.Array):
         """Advance all streams by one chunk (pure, untraced — used directly
@@ -1127,7 +1140,7 @@ class SpectrogramPipeline:
         # channels-planar (transposing the full carry+chunk buffer instead
         # cost ~0.8 ms/push at 4k streams, trace-verified).  push_planar
         # skips even this when the host supplies planar chunks.
-        chunk_pl = jnp.swapaxes(chunk.astype(jnp.float32), 1, 2)  # [S, 2, T]
+        chunk_pl = jnp.swapaxes(self._chunk_f32(chunk), 1, 2)  # [S, 2, T]
         return self._push_core(state, chunk_pl)
 
     def _push_core(self, state: StreamState, chunk_pl: jax.Array):

@@ -451,6 +451,33 @@ void pop16_range(RingBank16 *b, uint64_t lo, uint64_t hi, float *out,
   }
 }
 
+// Raw int16 planar drain: no f32 conversion — the wire-dtype path where
+// the i16 -> f32 scale runs ON DEVICE inside the jitted push (halves the
+// host->device transfer bytes; the framing pass absorbs the multiply).
+void pop16_range_planar_i16(RingBank16 *b, uint64_t lo, uint64_t hi,
+                            int16_t *out, uint64_t n, uint64_t *counts) {
+  for (uint64_t s = lo; s < hi; ++s) {
+    Ring16 *r = &b->rings[s];
+    int16_t *left = out + s * 2 * n;
+    int16_t *right = left + n;
+    const uint64_t tail = r->tail.load(std::memory_order_relaxed);
+    const uint64_t head = r->head.load(std::memory_order_acquire);
+    const uint64_t avail = head - tail;
+    uint64_t taken = n < avail ? n : avail;
+    for (uint64_t i = 0; i < taken; ++i) {
+      uint64_t idx = (tail + i) & r->mask;
+      left[i] = r->data[2 * idx];
+      right[i] = r->data[2 * idx + 1];
+    }
+    if (taken < n) {
+      std::memset(left + taken, 0, (n - taken) * sizeof(int16_t));
+      std::memset(right + taken, 0, (n - taken) * sizeof(int16_t));
+    }
+    r->tail.store(tail + taken, std::memory_order_release);
+    if (counts) counts[s] = taken;
+  }
+}
+
 void pop16_range_planar(RingBank16 *b, uint64_t lo, uint64_t hi, float *out,
                         uint64_t n, uint64_t *counts) {
   constexpr float kScale = 1.0f / 32768.0f;
@@ -554,6 +581,11 @@ void bank16_pop_matrix_f32(RingBank16 *b, float *out, uint64_t n,
 void bank16_pop_matrix_f32_planar(RingBank16 *b, float *out, uint64_t n,
                                   uint64_t *counts, uint64_t n_threads) {
   parallel_streams(b, n_threads, pop16_range_planar, out, n, counts);
+}
+
+void bank16_pop_matrix_i16_planar(RingBank16 *b, int16_t *out, uint64_t n,
+                                  uint64_t *counts, uint64_t n_threads) {
+  parallel_streams(b, n_threads, pop16_range_planar_i16, out, n, counts);
 }
 
 // Consumer-side discard of everything buffered for one stream (slot reuse:

@@ -27,8 +27,12 @@ v1 batched dots (4x slower than XLA; deleted in round 2), v2 all-2D-dot
 with 4 swapaxes/channel (3.96 ms standalone at 4096 streams), v3
 middle-axis dot_general with no pre-dot transposes (3.30 ms), v3c/v3d:
 power before the output transpose + scale folded into Hann (2.86 ms),
-v4 (current): transposed window planes + flipped stage 2 (1.39 ms at
-ts=64; exp_stft_r3).  Stage 2 as 4 separate dots (no concat) VMEM-OOMs;
+v4: transposed window planes + flipped stage 2 (1.39 ms at ts=64;
+exp_stft_r3), v5 (current default where the flat-2D orientation applies):
+PACKED-COMPLEX — both channels as one complex input, stage 1 a dense
+K=2m dot, conjugate unpack in-kernel with a permutation-matmul lane
+reversal (1.06 ms at ts=64, -16%; exp_stft_packed; split-real v4 stays
+the fallback).  Stage 2 as 4 separate dots (no concat) VMEM-OOMs;
 2 accumulating dots measured -25% (exp_stft_nocat).  A k2-major
 permuted-output variant was tried and reverted: minor dim n1/2=16 pads
 8x in (8,128) lane tiles.

@@ -43,7 +43,8 @@ DEFAULT_BLOCK_ROWS = (16, 32, 64)
 # Bump when the fused STFT kernel changes materially: cached rankings were
 # measured against a specific kernel formulation (FFTW re-plans when its
 # codelets change, for the same reason).
-_TUNER_VERSION = 6  # v6: padded-lane flip (lane_pad) for n2 % 128 != 0 plans
+_TUNER_VERSION = 7  # v7: packed-complex formulation (stft_packed default);
+# plan rankings move — packed favors minimal n1*n2o with 2m <= 128
 
 
 def _cache_key(cfg: SpectrogramConfig, device_kind: str,

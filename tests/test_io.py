@@ -248,3 +248,48 @@ def test_chunk_pool_rotation_copy_free(rng):
 
     with pytest.raises(ValueError):
         ChunkPool(1, (2, 2))
+
+
+def test_feeder_int16_wire_path(rng):
+    """The half-bandwidth wire format end-to-end at the feeder level: an
+    int16 ChunkPool drained from a RingBank16 raw and pushed as-is must
+    produce byte-identical rows to the f32 drain of the same PCM."""
+    import jax.numpy as jnp
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.io import ring as ring_mod
+    from spectrogram_tpu.io.feeder import ChunkPool, DeviceFeeder
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    if not ring_mod.native_available():
+        pytest.skip("native ring library unavailable")
+    cfg = SpectrogramConfig(
+        sample_rate=8000.0, window_period=0.032, hop_period=0.008,
+        viewport_height=64, viewport_rows=16,
+    )
+    p = SpectrogramPipeline(cfg, chunk_hops=2)
+    s = 3
+    words = rng.integers(
+        -32768, 32768, size=(s, 4 * p.chunk_size, 2)
+    ).astype(np.int16)
+
+    def run(wire):
+        bank = ring_mod.RingBank16(s, 4096)
+        bank.push_matrix(words)
+        feeder = DeviceFeeder(p, p.init_state(s), depth=2, planar=True,
+                              copy_chunks=False)
+        pool = ChunkPool.for_feeder(feeder, s, dtype=wire)
+        got = []
+        for _ in range(4):
+            buf = pool.next()
+            if wire == np.int16:
+                bank.pop_matrix_i16_planar(p.chunk_size, out=buf)
+            else:
+                bank.pop_matrix_f32_planar(p.chunk_size, out=buf)
+            done = feeder.push(buf)
+            if done is not None:
+                got.append(done)
+        got.extend(feeder.flush())
+        return got
+
+    for g16, g32 in zip(run(np.int16), run(np.float32)):
+        np.testing.assert_array_equal(g16, g32)

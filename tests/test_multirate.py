@@ -268,3 +268,41 @@ def test_gc_empty_groups():
     # a fresh add after GC rebuilds the group cleanly
     c = mgr.add_stream(CFG_A)
     assert mgr.location(c)[1] == 0
+
+
+def test_multirate_int16_wire_matches_f32():
+    """wire_int16=True groups must tick out byte-identical rows to the f32
+    drain of the same pushed PCM."""
+    import numpy as np
+    from spectrogram_tpu.config import SpectrogramConfig
+    from spectrogram_tpu.io import ring as ring_mod
+    from spectrogram_tpu.models.multirate import StreamGroupManager
+
+    if not ring_mod.native_available():
+        import pytest
+        pytest.skip("native ring library unavailable")
+    cfg = SpectrogramConfig(
+        sample_rate=8000.0, window_period=0.032, hop_period=0.008,
+        viewport_height=64, viewport_rows=16,
+    )
+    def run(wire):
+        rng = np.random.default_rng(3)
+        mgr = StreamGroupManager(
+            group_capacity=2, ingest=True, wire_int16=wire,
+            chunk_hops=2, store_ring=False,
+        )
+        sid = mgr.add_stream(cfg)
+        words = rng.integers(-32768, 32768, size=(6000, 2)).astype(np.int16)
+        mgr.push_pcm(sid, words)
+        outs = []
+        now = 0.0
+        for _ in range(4):
+            now += 10.0
+            outs.extend(np.asarray(r) for r in mgr.tick(now).values())
+        return outs
+
+    a = run(False)
+    b = run(True)
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

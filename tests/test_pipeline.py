@@ -1202,3 +1202,24 @@ def test_palette_sort_global_sorted_output_and_checkpoint(rng, tmp_path):
     assert p_pr._state_perm(r_pr) is None
     _, o_pr2 = p_pr.push(r_pr, chunk2)
     np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_pr2))
+
+
+def test_push_int16_wire_matches_f32(rng):
+    """int16 chunks (the half-bandwidth wire format) push EXACTLY like the
+    pre-scaled f32 chunks: x/32768 is exact in f32 for every int16, and
+    the scale happens on device inside the jitted push."""
+    p = make_pipeline(packed_output=True)
+    words = rng.integers(-32768, 32768,
+                         size=(3, p.chunk_size, 2)).astype(np.int16)
+    f32 = words.astype(np.float32) / 32768.0
+    s1 = p.init_state(3)
+    s1, out1 = p.push(s1, jnp.asarray(f32))
+    s2 = p.init_state(3)
+    s2, out2 = p.push(s2, jnp.asarray(words))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(s1.carry), np.asarray(s2.carry))
+    # planar wire form too
+    s3 = p.init_state(3)
+    s3, out3 = p.push_planar(
+        s3, jnp.asarray(words.transpose(0, 2, 1).copy()))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out3))

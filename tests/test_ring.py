@@ -226,3 +226,30 @@ def test_bank16_push_matrix_range():
     np.testing.assert_allclose(out[1:3], blk.astype(np.float32) / 32768.0)
     with pytest.raises(ValueError):
         b.push_matrix_range(3, blk)           # would run past the bank
+
+
+def test_bank16_pop_planar_i16_raw():
+    """Raw int16 planar drain (the half-bandwidth wire path): words come
+    out untouched, underruns zero-pad, and the on-device 1/32768 scale
+    (SpectrogramPipeline._chunk_f32) reproduces the f32 drain exactly."""
+    if not ring_mod.native_available():
+        pytest.skip("native ring library unavailable")
+    b = ring_mod.RingBank16(2, 32)
+    pcm = (np.arange(12, dtype=np.int16).reshape(6, 2) * 1000).astype(np.int16)
+    b.push(0, pcm)
+    raw, counts = b.pop_matrix_i16_planar(8)
+    assert raw.shape == (2, 2, 8) and raw.dtype == np.int16
+    np.testing.assert_array_equal(counts, [6, 0])
+    np.testing.assert_array_equal(raw[0, :, :6].T, pcm)
+    np.testing.assert_array_equal(raw[0, :, 6:], 0)
+    np.testing.assert_array_equal(raw[1], 0)
+    # the device-side scale matches the native f32 conversion bit-for-bit
+    b.push(0, pcm)
+    f32, _ = b.pop_matrix_f32_planar(6)
+    np.testing.assert_array_equal(
+        raw[0, :, :6].astype(np.float32) * np.float32(1.0 / 32768.0),
+        f32[0],
+    )
+    # out= rejects wrong dtype/shape
+    with pytest.raises(ValueError, match="int16"):
+        b.pop_matrix_i16_planar(4, out=np.zeros((2, 2, 4), np.float32))
