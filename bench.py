@@ -104,6 +104,14 @@ def main() -> None:
             os.environ.get("BENCH_SORTED_OUTPUT", "0") == "1"
             and os.environ.get("BENCH_PALETTE_SORT", "1") == "1"
         ),
+        # BENCH_UNPACK_SPLIT: bf16-split `prev` permutation dot in the
+        # packed STFT kernel ("auto" = 3 wherever packed engages — BITWISE
+        # equal to the HIGHEST dot at -4.3% standalone, exp_unpack_split;
+        # 0 pins the plain HIGHEST dot; 2 = one fewer MXU pass at 4.7e-8
+        # maxabs, opt-in).
+        stft_unpack_split={"auto": "auto", "0": 0, "2": 2, "3": 3}[
+            os.environ.get("BENCH_UNPACK_SPLIT", "auto")
+        ],
     )
 
     rng = np.random.default_rng(0)

@@ -106,6 +106,7 @@ class SpectrogramPipeline:
         palette_sort: bool = True,
         sorted_output: bool = False,
         stft_packed="auto",
+        stft_unpack_split="auto",
     ):
         cfg.validate()
         self.cfg = cfg
@@ -249,6 +250,29 @@ class SpectrogramPipeline:
             raise ValueError(
                 f"stft_packed=True requires the fused chain and a "
                 f"flat-2D-capable plan (cfg {cfg}, plan={self.fft_plan})"
+            )
+        # bf16-split unpack permutation dot (exp_unpack_split): the packed
+        # kernel's `prev` matmul is pure data movement (0/1 entries), so
+        # splitting the data operand into 3 bf16 terms and summing three
+        # single-pass DEFAULT dots reproduces the HIGHEST dot BITWISE at
+        # 16/32 of its MXU passes (kernel model 160 -> 144 cycles).
+        # "auto" = 3 wherever packed runs; 0 = the plain HIGHEST dot;
+        # 2 = one fewer pass at ~2^-17 relative error (opt-in: measured
+        # max dB delta 5.7e-5, crosstalk floor -132 dB — far below the
+        # -70 dB display window, but bitwise is the stronger invariant).
+        if stft_unpack_split not in ("auto", 0, 2, 3):
+            raise ValueError(
+                f"unknown stft_unpack_split {stft_unpack_split!r}"
+            )
+        self._stft_unpack_split_arg = stft_unpack_split
+        self.stft_unpack_split = (
+            (3 if self.stft_packed else 0)
+            if stft_unpack_split == "auto"
+            else int(stft_unpack_split)
+        )
+        if self.stft_unpack_split and not self.stft_packed:
+            raise ValueError(
+                "stft_unpack_split requires the packed STFT formulation"
             )
         self.carry_transposed = bool(transposed_carry) and (
             self.fused_chain
@@ -545,6 +569,11 @@ class SpectrogramPipeline:
             and _sk.packed_supported(plan, self.stft_lane_pad)
             if self._stft_packed_arg == "auto"
             else bool(self._stft_packed_arg)
+        )
+        self.stft_unpack_split = (
+            (3 if self.stft_packed else 0)
+            if self._stft_unpack_split_arg == "auto"
+            else int(self._stft_unpack_split_arg)
         )
         self.carry_transposed = self.carry_transposed and (
             not self.stft_lane_pad
@@ -1343,6 +1372,7 @@ class SpectrogramPipeline:
             plan=self.fft_plan, lane_pad=self.stft_lane_pad,
             padded_layout=self.stft_lane_pad,
             packed=self.stft_packed,
+            unpack_split=self.stft_unpack_split,
         )
         if t >= c:
             new_carry = chunk_pl[:, :, t - c:]
@@ -1393,6 +1423,7 @@ class SpectrogramPipeline:
                 lane_pad=self.stft_lane_pad,
                 padded_layout=self.stft_lane_pad,
                 packed=self.stft_packed,
+                unpack_split=self.stft_unpack_split,
             )  # [S*k, N/2] incl DC (padded bin layout when stft_lane_pad)
         return self._fused_tail(state, mag_l, mag_r, new_carry, s)
 

@@ -331,7 +331,8 @@ def _packed_hann(w: int, m: int, n1: int, transposed: bool) -> "np.ndarray":
 
 
 def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
-                     *, plan, precision, transposed, lane_pad):
+                     *, plan, precision, transposed, lane_pad,
+                     unpack_split=0):
     """Packed-complex four-step + conjugate unpack on an already-Hann'd
     zcat ([ts, n1, 2m] when transposed, else [ts, 2m, n1]); returns
     (rows_l, rows_r): k1h [ts, n2o] magnitude rows each (flat bin
@@ -343,7 +344,20 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
     that feed it, the k2=0 column is patched from row (n1-k1) % n1 = the
     reversal row + 1 mod n1, and conj() folds into the unpack signs:
       L = |Z[k] + conj(Z[-k])| / 2,  R = |Z[k] - conj(Z[-k])| / 2
-    (fft.rs:81-92; the 1/2 lives in the Hann constant)."""
+    (fft.rs:81-92; the 1/2 lives in the Hann constant).
+
+    `unpack_split` (0 | 2 | 3): MXU pass count for the `prev` permutation
+    dot.  0 = plain f32 dot at `precision` (HIGHEST = 6 bf16 passes).
+    n >= 2 = the data operand split into n bf16 terms (h = bf16(r);
+    r -= h), each contracted against the bf16 permutation matrix in ONE
+    DEFAULT pass and summed in f32.  The permutation operand is EXACT in
+    bf16 (entries 0/1) and each output lane sums exactly one product, so
+    the only error is the split residual: <= 2^-18 relative at n=2,
+    <= 2^-27 (below f32 eps scale) at n=3 — the prev dot's 32 passes drop
+    to n*32/6.  This is NOT legal for the FFT stages themselves (their
+    coefficient operands are irrational; bf16 rounding of cancelling
+    sums raises tonal leakage floors — round-3 lesson), but prev does no
+    arithmetic, only movement."""
     n1, n2 = plan.n1, plan.n2
     n2o = padded_n2(plan) if lane_pad else n2
     k1h = n1 // 2
@@ -362,9 +376,23 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
     # through the permutation matmul (ONE batched dot: 32 MXU passes/row
     # at the bench plan vs 128 for the two stages).
     d_hi = jnp.concatenate([d[k1h:n1], d[n1 + k1h :]], axis=0)
-    zm_all = jax.lax.dot_general(
-        d_hi, prev_ref[:], (((2,), (0,)), ((), ())), **kw
-    )                                                  # [n1, ts, n2o]
+    if unpack_split:
+        pbf = prev_ref[:].astype(jnp.bfloat16)         # exact: entries 0/1
+        dims = (((2,), (0,)), ((), ()))
+        kw1 = dict(preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+        r = d_hi
+        zm_all = None
+        for i in range(unpack_split):
+            h = r.astype(jnp.bfloat16)
+            t = jax.lax.dot_general(h, pbf, dims, **kw1)
+            zm_all = t if zm_all is None else zm_all + t
+            if i + 1 < unpack_split:
+                r = r - h.astype(jnp.float32)
+    else:
+        zm_all = jax.lax.dot_general(
+            d_hi, prev_ref[:], (((2,), (0,)), ((), ())), **kw
+        )                                              # [n1, ts, n2o]
     e0 = (jax.lax.broadcasted_iota(jnp.int32, (1, n2o), 1) == 0).astype(
         jnp.float32
     )
@@ -382,6 +410,7 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
 def _kernel_packed_2d(
     left_ref, right_ref, hann_ref, f2p_ref, twcat_ref, f1full_ref, prev_ref,
     out_l_ref, out_r_ref, *, plan, precision, lane_pad=False,
+    unpack_split=0,
 ):
     """Packed-complex kernel body, transposed window planes ([TS, n1, m]
     per channel — the production operand layout; the lane concat into
@@ -393,6 +422,7 @@ def _kernel_packed_2d(
     rows_l, rows_r = _packed_mag_rows(
         zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
         plan=plan, precision=precision, transposed=True, lane_pad=lane_pad,
+        unpack_split=unpack_split,
     )
     for k1, (ol, orr) in enumerate(zip(rows_l, rows_r)):
         out_l_ref[:, k1 * n2o : (k1 + 1) * n2o] = ol
@@ -413,7 +443,7 @@ def lane_pad_default(plan: FftPlan) -> bool:
     jax.jit,
     static_argnames=(
         "cfg", "block_rows", "precision", "interpret", "slice_bins", "plan",
-        "lane_pad", "padded_layout", "out_2d", "packed",
+        "lane_pad", "padded_layout", "out_2d", "packed", "unpack_split",
     ),
 )
 def stft_mag_fused2(
@@ -429,6 +459,7 @@ def stft_mag_fused2(
     padded_layout: bool = False,
     out_2d: bool | None = None,
     packed: bool = False,
+    unpack_split: int = 0,
 ):
     """Fused four-step STFT: (magL, magR) each [N, num_bins], or the full
     [N, N/2] half-spectrum (bin index k = padded-FFT bin k, DC included)
@@ -511,7 +542,7 @@ def stft_mag_fused2(
         f2cat, twcat, f1full, prev = _packed_plan_constants(plan, lane_pad)
         kernel = functools.partial(
             _kernel_packed_2d, plan=plan, precision=precision,
-            lane_pad=lane_pad,
+            lane_pad=lane_pad, unpack_split=unpack_split,
         )
         extra_consts = (f1full, prev)
     else:
@@ -743,7 +774,7 @@ def _allk_kernel_packed(
     out_l_ref,   # [k, TS, half_o] flat per-window magnitude rows
     out_r_ref,
     *, plan, k, hop_rows, precision, lane_pad, carry_rows=0,
-    out_carry_ref=None,
+    out_carry_ref=None, unpack_split=0,
 ):
     """Packed-complex all-windows body: the _allk_kernel window slicing
     with the stereo-packed four-step per window (see _packed_mag_rows) —
@@ -764,7 +795,7 @@ def _allk_kernel_packed(
         rows_l, rows_r = _packed_mag_rows(
             zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
             plan=plan, precision=precision, transposed=False,
-            lane_pad=lane_pad,
+            lane_pad=lane_pad, unpack_split=unpack_split,
         )
         for k1, (ol, orr) in enumerate(zip(rows_l, rows_r)):
             out_l_ref[r, :, k1 * n2o : (k1 + 1) * n2o] = ol
@@ -775,7 +806,7 @@ def _allk_kernel_packed(
     jax.jit,
     static_argnames=(
         "cfg", "k", "block_rows", "precision", "interpret", "plan",
-        "lane_pad", "padded_layout", "emit_carry", "packed",
+        "lane_pad", "padded_layout", "emit_carry", "packed", "unpack_split",
     ),
 )
 def stft_mag_fused2_allk(
@@ -791,6 +822,7 @@ def stft_mag_fused2_allk(
     padded_layout: bool = False,
     emit_carry: bool = False,
     packed: bool = False,
+    unpack_split: int = 0,
 ):
     """All-windows fused STFT off per-channel carry+chunk planes (see
     _allk_kernel).  Requires `split_framing_supported` (hop % n1 == 0 —
@@ -837,6 +869,7 @@ def stft_mag_fused2_allk(
         kernel = functools.partial(
             _allk_kernel_packed, plan=plan, k=k, hop_rows=h // n1,
             precision=precision, lane_pad=lane_pad, carry_rows=c_rows,
+            unpack_split=unpack_split,
         )
     else:
         hann2 = _scaled_hann(w, m, n1)

@@ -141,6 +141,9 @@ def class_flip(rng):
     )
     assert p.allk_framing, "bench k=8 lost the all-windows framing kernel"
     assert p.stft_packed, "bench plan lost the packed-complex default"
+    assert p.stft_unpack_split == 3, (
+        "packed kernel lost the bf16-split unpack default"
+    )
     _, rows = _push_twice(p, 256, rng, palette_ids=np.arange(256) % 19)
     return p, rows
 
@@ -263,6 +266,9 @@ def class_k1(rng):
     p = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
             packed_output=True)
     assert p.stft_packed, "bench k=1 lost the packed-complex default"
+    assert p.stft_unpack_split == 3, (
+        "packed kernel lost the bf16-split unpack default"
+    )
     _push_twice(p, 256, rng)
 
 

@@ -455,3 +455,55 @@ def test_pipeline_packed_auto_routing(rng):
     a = np.asarray(rgba_on).view(np.uint8).reshape(-1, 4).astype(np.int32)
     b = np.asarray(rgba_off).view(np.uint8).reshape(-1, 4).astype(np.int32)
     assert np.abs(a - b).max() <= 1   # ulp-level mag shift -> <= 1 u8 step
+
+
+def test_unpack_split_parity(rng):
+    """bf16-split `prev` dot (exp_unpack_split): split3 is BITWISE equal
+    to the HIGHEST permutation dot (the 3-term bf16 split reconstructs
+    f32 exactly when the coefficient operand is 0/1); split2 stays well
+    below the u8 quantum.  Covers both the plane and allk entry points."""
+    from spectrogram_tpu.ops.mxu_fft import FftPlan
+
+    plan = FftPlan(n=512, n1=4, n2=128, m=64)   # flip-capable at W=256
+    assert stft_kernel.packed_supported(plan)
+    n = 8
+    w = CFG.window_size
+    pcm = (rng.standard_normal((n, w, 2)) * 0.3).astype(np.float32)
+    l, r = jnp.asarray(pcm[:, :, 0]), jnp.asarray(pcm[:, :, 1])
+    base = stft_kernel.stft_mag_fused2(
+        l, r, CFG, block_rows=4, interpret=True, plan=plan, packed=True,
+        slice_bins=False)
+    s3 = stft_kernel.stft_mag_fused2(
+        l, r, CFG, block_rows=4, interpret=True, plan=plan, packed=True,
+        slice_bins=False, unpack_split=3)
+    s2 = stft_kernel.stft_mag_fused2(
+        l, r, CFG, block_rows=4, interpret=True, plan=plan, packed=True,
+        slice_bins=False, unpack_split=2)
+    for a, b in zip(s3, base):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(s2, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    # allk entry point threads the knob identically
+    k, h = 2, CFG.hop_size
+    tlen = w + (k - 1) * h
+    buf_l = jnp.asarray(rng.standard_normal((5, tlen)).astype(np.float32))
+    buf_r = jnp.asarray(rng.standard_normal((5, tlen)).astype(np.float32))
+    a0 = stft_kernel.stft_mag_fused2_allk(
+        buf_l, buf_r, CFG, k=k, interpret=True, plan=plan, packed=True)
+    a3 = stft_kernel.stft_mag_fused2_allk(
+        buf_l, buf_r, CFG, k=k, interpret=True, plan=plan, packed=True,
+        unpack_split=3)
+    for a, b in zip(a3, a0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unpack_split_pipeline_gate():
+    """Pipeline knob: auto -> 3 wherever packed engages, 0 otherwise;
+    explicit split without packed raises."""
+    import pytest
+    from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+    p = SpectrogramPipeline(CFG, stft_backend="mxu")   # not fused: no pack
+    assert p.stft_unpack_split == 0
+    with pytest.raises(ValueError, match="unpack_split"):
+        SpectrogramPipeline(CFG, stft_backend="mxu", stft_unpack_split=3)
