@@ -44,7 +44,11 @@ DEFAULT_BLOCK_ROWS = (16, 32, 64)
 # measured against a specific kernel formulation (FFTW re-plans when its
 # codelets change, for the same reason).
 _TUNER_VERSION = 7  # v7: packed-complex formulation (stft_packed default);
-# plan rankings move — packed favors minimal n1*n2o with 2m <= 128
+# plan rankings move — packed favors minimal n1*n2o with 2m <= 128.
+# The bf16-split unpack (stft_unpack_split=3, round-4 continuation) does
+# NOT bump the version: it scales the prev term uniformly (pass model
+# 5*n1*n2o -> 4.5*n1*n2o per row), so the argmin — and therefore every
+# cached ranking — is unchanged.
 
 
 def _cache_key(cfg: SpectrogramConfig, device_kind: str,
