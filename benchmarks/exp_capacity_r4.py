@@ -1,0 +1,111 @@
+"""E22: capacity re-bracket after the packed-STFT + unpack-split kernel.
+
+The published real-time capacity boundaries (~25k per-stream sorted,
+~28k uniform; README/BASELINE) were bracketed BEFORE the packed-complex
+STFT (-4..5% e2e at 10k-16k, exp_packed_e2e) and the bf16-split unpack
+(-3.7% kernel standalone) landed as defaults.  CLAUDE.md protocol: re-
+bracket after any perf change.  Official-bench single points carry
+inter-run window spread (~8%, +-1k streams — the 26,624 "cliff" lesson,
+exp_uniform_cliff), so this harness runs every bracketing population in
+ONE process, sequentially, one case resident at a time (see the note at
+the timing loop: co-resident compiled programs read 2-3 ms slow).
+
+Budget: 16.67 ms/push (hop 800 @ 48 kHz).
+
+Usage: python benchmarks/exp_capacity_r4.py [case ...]
+  case = S          (per-stream scattered, palette_sort default)
+       | S:uniform  (scalar palette -> SMEM uniform kernel)
+Default: 24576 25600 26624 27648 28672:uniform 29696:uniform 30720:uniform
+
+RESULT: see the bottom of this docstring after the run (filled in from
+the harness output; predictions are NOT written here in advance).
+"""
+import gc
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spectrogram_tpu.config import BENCH_CONFIG
+from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
+
+BUDGET_MS = 800 / 48000 * 1e3  # hop / sample_rate
+DEFAULT = ["24576", "25600", "26624", "27648",
+           "28672:uniform", "29696:uniform", "30720:uniform"]
+SCAN_LEN = 60
+ROUNDS = 3
+
+CASES = []
+for a in (sys.argv[1:] or DEFAULT):
+    parts = a.split(":")
+    CASES.append((int(parts[0]), len(parts) > 1 and parts[1] == "uniform"))
+
+rng = np.random.default_rng(0)
+
+
+def build(s, uniform):
+    p = SpectrogramPipeline(BENCH_CONFIG, chunk_hops=1, store_ring=False,
+                            packed_output=True, precision_profile="fast")
+    chunk = jnp.asarray(
+        rng.standard_normal((s, p.chunk_size, 2)).astype(np.float32) * 0.1)
+
+    def scan(state, c):
+        def body(st, _):
+            st, rgba = p.push_impl(st, c)
+            return st, rgba[:, 0, 0]
+        return jax.lax.scan(body, state, None, length=SCAN_LEN)
+
+    scan_fn = jax.jit(scan, donate_argnums=0)
+
+    def fresh_state():
+        st = p.init_state(s)
+        if uniform:
+            return p.set_palette(st, 1)
+        ids = (np.arange(s, dtype=np.int32) % len(p.schemes))
+        return p.set_palette(st, ids)
+
+    t0 = time.perf_counter()
+    st, sums = scan_fn(fresh_state(), chunk)
+    np.asarray(sums)
+    del st
+    print(f"  [S={s} {'uniform' if uniform else 'per-stream'}] "
+          f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    return scan_fn, fresh_state, chunk
+
+
+# SEQUENTIAL per case, bounded memory (exp_uniform_cliff methodology).
+# A first cut held all 7 compiled programs + chunks resident and round-
+# robined the timing rounds across them: EVERY case then read 2-3 ms
+# slower than its official-bench point and repeat trials were bit-
+# identical — co-resident programs perturb the allocator/scoped-memory
+# regime the production push relies on (the 16k-droop mechanism).  One
+# case at a time, freed before the next, reproduces official numbers.
+best = {}
+for s, uniform in CASES:
+    scan_fn, fresh_state, chunk = build(s, uniform)
+    b = 1e9
+    for _ in range(ROUNDS):
+        # official-bench trial shape: timed scan from a fresh state (the
+        # compile call in build() already warmed the executable)
+        st = fresh_state()
+        t0 = time.perf_counter()
+        st, sums = scan_fn(st, chunk)
+        np.asarray(sums)
+        b = min(b, (time.perf_counter() - t0) / SCAN_LEN)
+        del st
+    best[(s, uniform)] = b
+    verdict = "INSIDE" if b * 1e3 <= BUDGET_MS else "OVER"
+    print(f"S={s:>6} {'uniform   ' if uniform else 'per-stream'}: "
+          f"{b*1e3:.3f} ms/push  {s/b:,.0f} rows/s  {verdict}", flush=True)
+    del scan_fn, fresh_state, chunk
+    gc.collect()
+
+print(f"\nbudget {BUDGET_MS:.2f} ms/push", flush=True)
+for (s, uniform), b in best.items():
+    verdict = "INSIDE" if b * 1e3 <= BUDGET_MS else "OVER"
+    print(f"S={s:>6} {'uniform   ' if uniform else 'per-stream'}: "
+          f"{b*1e3:.3f} ms/push  {s/b:,.0f} rows/s  {verdict}", flush=True)
