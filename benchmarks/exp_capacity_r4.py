@@ -17,8 +17,26 @@ Usage: python benchmarks/exp_capacity_r4.py [case ...]
        | S:uniform  (scalar palette -> SMEM uniform kernel)
 Default: 24576 25600 26624 27648 28672:uniform 29696:uniform 30720:uniform
 
-RESULT: see the bottom of this docstring after the run (filled in from
-the harness output; predictions are NOT written here in advance).
+RESULT (TPU v5e-1 via dev harness, 2026-08-19, packed STFT + unpack
+split3 defaults; two runs — the default sweep plus a boundary re-run):
+
+  per-stream (scattered 19 palettes, global sort + stream blocking):
+    24,576  16.381 ms  1,500,300 rows/s  INSIDE
+    25,600  16.971 ms  1,508,450 rows/s  OVER   (re-run; a first reading
+            of 20.213 ms was an outlier — non-monotonic vs 26,624 below)
+    26,624  17.325 / 17.661 ms           OVER   (both runs)
+    27,648  18.215 ms                    OVER
+    -> boundary stays ~25k: packed's e2e win (-5.4% at 16,384,
+       exp_packed_e2e) does NOT move the 24.5k point (16.38 vs the
+       pre-packed 16.37 ms — identical within noise; the boundary mix
+       at 24k is dominated by the stages packed does not touch).
+
+  uniform (scalar palette, SMEM-scalar kernel):
+    28,672  16.030 / 16.298 ms  1,788,688 rows/s  INSIDE (both runs;
+            pre-packed this point was OVER at 17.14)
+    29,696  17.036 / 16.809 ms                    OVER   (both runs)
+    30,720  17.229 ms           1,783,008 rows/s  OVER
+    -> uniform boundary moves UP ~1k: ~29k (was ~28k).
 """
 import gc
 import pathlib

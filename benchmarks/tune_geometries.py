@@ -30,7 +30,14 @@ GEOMETRIES = {
 }
 
 
-def measure_pipeline(cfg, n_streams=4096, iters=100, autotune_on=True):
+def measure_pipeline(cfg, n_streams=4096, iters=100, autotune_on=True,
+                     layout="scattered"):
+    """layout: "scattered" = per-stream 19-palette tables (the headline
+    per-row/per-stream configuration — blockwise_palettes="auto" would
+    otherwise flip init_state's all-one-palette default to the blockwise
+    kernel and quietly inflate this row); "uniform" = scalar set_palette
+    (SMEM-scalar kernel); "default" = init_state layout (blockwise under
+    auto)."""
     pipeline = SpectrogramPipeline(
         cfg, chunk_hops=1, store_ring=False, packed_output=True,
         precision_profile="fast", autotune=autotune_on,
@@ -41,6 +48,15 @@ def measure_pipeline(cfg, n_streams=4096, iters=100, autotune_on=True):
         * 0.1
     )
 
+    def init_state():
+        state = pipeline.init_state(n_streams)
+        if layout == "uniform":
+            return pipeline.set_palette(state, 1)
+        if layout == "scattered":
+            ids = (np.arange(n_streams) % len(pipeline.schemes)).astype(np.int32)
+            return pipeline.set_palette(state, ids)
+        return state
+
     def scan(state, chunk):
         def body(s, _):
             s, rgba = pipeline.push_impl(s, chunk)
@@ -49,12 +65,12 @@ def measure_pipeline(cfg, n_streams=4096, iters=100, autotune_on=True):
         return jax.lax.scan(body, state, None, length=iters)
 
     fn = jax.jit(scan, donate_argnums=0)
-    state = pipeline.init_state(n_streams)
+    state = init_state()
     state, sums = fn(state, chunk)
     np.asarray(sums)
     best = np.inf
     for _ in range(3):
-        state = pipeline.init_state(n_streams)
+        state = init_state()
         t0 = time.perf_counter()
         state, sums = fn(state, chunk)
         np.asarray(sums)
@@ -71,20 +87,34 @@ def measure_pipeline(cfg, n_streams=4096, iters=100, autotune_on=True):
 
 
 def main():
-    for name, cfg in GEOMETRIES.items():
+    # CLI: substring filters over geometry names (e.g. `reference` or
+    # `bench reference`).  Default runs all EXCEPT lowlat: its N=1024
+    # kernels hit the relay's small-N compile blowup (CLAUDE.md protocol —
+    # never compile N < 2048 on the relay without a 10+ min/candidate
+    # budget); pass `lowlat` explicitly to include it.
+    picks = sys.argv[1:] or ["bench", "reference"]
+    selected = {
+        name: cfg for name, cfg in GEOMETRIES.items()
+        if any(p in name for p in picks)
+    }
+    if not selected:
+        raise SystemExit(f"no geometry matches {picks}; have {list(GEOMETRIES)}")
+    for name, cfg in selected.items():
         t0 = time.perf_counter()
         plan, ts = autotune.tune(cfg, verbose=True)
         tune_s = time.perf_counter() - t0
-        r = measure_pipeline(cfg)
-        r.update({
-            "geometry": name,
-            "window": cfg.window_size,
-            "fft": cfg.padded_size,
-            "tuned_plan": f"{plan.n1}x{plan.n2}" if plan else None,
-            "tuned_block_rows": ts,
-            "tune_seconds": round(tune_s, 1),
-        })
-        print(json.dumps(r), flush=True)
+        for layout in ("scattered", "uniform"):
+            r = measure_pipeline(cfg, layout=layout)
+            r.update({
+                "geometry": name,
+                "layout": layout,
+                "window": cfg.window_size,
+                "fft": cfg.padded_size,
+                "tuned_plan": f"{plan.n1}x{plan.n2}" if plan else None,
+                "tuned_block_rows": ts,
+                "tune_seconds": round(tune_s, 1),
+            })
+            print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":
