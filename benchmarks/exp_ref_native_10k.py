@@ -10,10 +10,14 @@ palette_sort engages (block-relative, flat push) where it could not at
 
 RESULTS (TPU v5e-1 via dev harness, 2026-08-19, scan 50, best of 3,
 bitwise parity):
-  per_row (BENCH_PALETTE_SORT=0 class): 9.936 ms/push  1,030,566 rows/s
-  sorted  (library default):            8.939 ms/push  1,145,485 rows/s
-  (+11.2%; throughput holds flat from 4096 -> 10,240 streams at the
-  reference geometry — no population droop.)
+  pre-packed (split-real v4 STFT):
+    per_row (BENCH_PALETTE_SORT=0 class): 9.936 ms/push  1,030,566 rows/s
+    sorted  (library default):            8.939 ms/push  1,145,485 rows/s
+    (+11.2%; throughput holds flat from 4096 -> 10,240 streams at the
+    reference geometry — no population droop.)
+  round-4 closeout (packed-complex STFT default, engages at 40x120):
+    per_row: 9.277 ms/push  1,103,795 rows/s
+    sorted : 8.396 ms/push  1,219,648 rows/s   (+6.5% from packed)
 
 Usage: python benchmarks/exp_ref_native_10k.py
 """

@@ -99,9 +99,19 @@ def main():
     }
     if not selected:
         raise SystemExit(f"no geometry matches {picks}; have {list(GEOMETRIES)}")
+    # The cache key includes the deployment kwargs (they change the
+    # measured graph), so the warm-up MUST tune under the exact kwargs the
+    # measured pipelines construct with — a bare tune(cfg) caches under a
+    # key no production pipeline ever reads, and measure_pipeline's
+    # autotune=True constructor then silently RE-tunes (caught live: the
+    # re-tune's 1024-stream rankings are noisy enough to pick a different,
+    # slower plan than the verbose run 15 minutes earlier).
+    pipeline_kwargs = dict(chunk_hops=1, store_ring=False,
+                           packed_output=True, precision_profile="fast")
     for name, cfg in selected.items():
         t0 = time.perf_counter()
-        plan, ts = autotune.tune(cfg, verbose=True)
+        plan, ts = autotune.tune(cfg, verbose=True,
+                                 pipeline_kwargs=pipeline_kwargs)
         tune_s = time.perf_counter() - t0
         for layout in ("scattered", "uniform"):
             r = measure_pipeline(cfg, layout=layout)
