@@ -10,10 +10,20 @@ rate).  vs_baseline = measured rows/s/chip / 600,000 (the north-star target:
 
 Measurement notes:
 * Throughput is measured as N pushes inside ONE jitted lax.scan, timed
-  end-to-end with a forced host materialization of the per-push checksums.
-  Per-call timing is not trustworthy in this environment: the dev harness
-  tunnels the TPU through a relay where `block_until_ready` returns before
-  execution completes and each dispatch costs 10-30 ms of RPC overhead.
+  end-to-end with a forced host materialization.  Per-call timing is not
+  trustworthy in this environment: the dev harness tunnels the TPU through
+  a relay where `block_until_ready` returns before execution completes and
+  each dispatch costs 10-30 ms of RPC overhead.
+* The forced materialization reads a TINY dependent slice of the checksum
+  stack (`sums[-1, :8]`, 32 bytes), not the full [scan_len, S] array: the
+  slice depends on the whole scan program (one XLA executable — no partial
+  completion exists), so it forces identical device work, but it does not
+  drag megabytes through the relay's ~50 MB/s D2H leg INSIDE the timed
+  region.  The full-readback harness overstated ms/push by a pure
+  transfer term that grew with S x scan_len — measured 0.68 ms/push at
+  the 4096-stream headline and 3.60 ms/push at 24,576 streams
+  (benchmarks/exp_readback_tax.py, interleaved A/B, same executable).
+  Numbers recorded before 2026-08-19 include that harness tax.
 * Latency is the wall time of one dispatched push with a forced
   materialization — i.e. what a live single-push server loop would see
   through this harness (upper bound; on-device time is total/N from the scan).
@@ -174,7 +184,10 @@ def main() -> None:
         state = init_state()
         t0 = time.perf_counter()
         state, sums = scan_fn(state, chunk)
-        np.asarray(sums)  # forces completion through the relay
+        # Forces completion through the relay: the slice depends on the
+        # whole scan program; 32 bytes cross the wire instead of the full
+        # [scan_len, S] stack (see the harness-tax note in the docstring).
+        np.asarray(sums[-1, :8])
         per_push.append((time.perf_counter() - t0) / scan_len)
     dt = min(per_push)
     rows_per_sec = n_streams * chunk_hops / dt

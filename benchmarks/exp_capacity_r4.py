@@ -88,7 +88,7 @@ def build(s, uniform):
 
     t0 = time.perf_counter()
     st, sums = scan_fn(fresh_state(), chunk)
-    np.asarray(sums)
+    np.asarray(sums[-1, :8])
     del st
     print(f"  [S={s} {'uniform' if uniform else 'per-stream'}] "
           f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
@@ -112,7 +112,10 @@ for s, uniform in CASES:
         st = fresh_state()
         t0 = time.perf_counter()
         st, sums = scan_fn(st, chunk)
-        np.asarray(sums)
+        # tiny dependent slice: forces the whole scan, 32 B over the wire
+        # (the full-stack readback was a ~2-3.6 ms/push harness tax at
+        # these populations — exp_readback_tax)
+        np.asarray(sums[-1, :8])
         b = min(b, (time.perf_counter() - t0) / SCAN_LEN)
         del st
     best[(s, uniform)] = b
