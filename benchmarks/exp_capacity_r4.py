@@ -1,5 +1,13 @@
 """E22: capacity re-bracket after the packed-STFT + unpack-split kernel.
 
+RE-BRACKET #2 (2026-08-19, same day, later): the RESULT block below was
+measured with the FULL-stack readback (`np.asarray(sums)`) inside the
+timed region — a pure relay-D2H harness tax of ~2.0-3.6 ms/push at
+these populations (exp_readback_tax).  The harness now forces the scan
+with a 32-byte dependent slice (matching the official bench), which
+moves both boundaries UP; see the RESULT2 block at the end of this
+docstring for the re-measured brackets.
+
 The published real-time capacity boundaries (~25k per-stream sorted,
 ~28k uniform; README/BASELINE) were bracketed BEFORE the packed-complex
 STFT (-4..5% e2e at 10k-16k, exp_packed_e2e) and the bf16-split unpack
@@ -52,8 +60,10 @@ from spectrogram_tpu.config import BENCH_CONFIG
 from spectrogram_tpu.models.spectrogram import SpectrogramPipeline
 
 BUDGET_MS = 800 / 48000 * 1e3  # hop / sample_rate
-DEFAULT = ["24576", "25600", "26624", "27648",
-           "28672:uniform", "29696:uniform", "30720:uniform"]
+# Re-bracket #2 grid: the tax removal shifts ~25k/~29k up by roughly
+# budget/(budget - tax) — start near the predicted new boundaries.
+DEFAULT = ["28672", "30720", "31744", "32768",
+           "34816:uniform", "36864:uniform", "38912:uniform"]
 SCAN_LEN = 60
 ROUNDS = 3
 

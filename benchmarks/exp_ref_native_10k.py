@@ -61,11 +61,11 @@ for n, p in pipes.items():
         return jax.lax.scan(body, state, None, length=SCAN)
     f = jax.jit(scan, donate_argnums=0)
     st = p.set_palette(p.init_state(S), ids)
-    t0 = time.perf_counter(); st, sums = f(st, chunk); np.asarray(sums)
+    t0 = time.perf_counter(); st, sums = f(st, chunk); np.asarray(sums[-1, :8])
     print(f"  [{n}] compile {time.perf_counter()-t0:.1f}s", flush=True)
     best = 1e9
     for _ in range(3):
         st = p.set_palette(p.init_state(S), ids)
-        t0 = time.perf_counter(); st, sums = f(st, chunk); np.asarray(sums)
+        t0 = time.perf_counter(); st, sums = f(st, chunk); np.asarray(sums[-1, :8])
         best = min(best, (time.perf_counter()-t0)/SCAN)
     print(f"{n}: {best*1e3:.3f} ms/push  {S/best:,.0f} rows/s", flush=True)
