@@ -45,6 +45,26 @@ split3 defaults; two runs — the default sweep plus a boundary re-run):
     29,696  17.036 / 16.809 ms                    OVER   (both runs)
     30,720  17.229 ms           1,783,008 rows/s  OVER
     -> uniform boundary moves UP ~1k: ~29k (was ~28k).
+
+RESULT2 (TPU v5e-1 via dev harness, 2026-08-20, tiny-slice readback —
+the ~2-3.6 ms/push D2H harness tax removed; boundary points run twice):
+
+  per-stream (scattered 19 palettes, global sort + stream blocking):
+    28,672  16.133 / 16.123 ms  ~1,778k rows/s  INSIDE (both runs)
+    29,696  16.926 / 17.219 ms                  OVER   (both runs)
+    30,720  17.599 ms                           OVER
+    31,744  18.155 ms                           OVER
+    32,768  18.998 ms                           OVER
+    -> per-stream boundary ~29k (was ~25k with the tax: the RESULT
+       block's 24,576 INSIDE point carried ~3+ ms of pure D2H).
+
+  uniform (scalar palette, SMEM-scalar kernel):
+    34,816  16.173 / 16.158 ms  ~2,154k rows/s  INSIDE (both runs)
+    35,840  16.589 / 16.833 ms                  MARGINAL (straddles the
+            16.67 budget — excluded from the published boundary)
+    36,864  17.203 / 17.217 ms                  OVER   (both runs)
+    38,912  17.979 ms                           OVER
+    -> uniform boundary ~35k (was ~29k with the tax).
 """
 import gc
 import pathlib
