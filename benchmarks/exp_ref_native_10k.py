@@ -18,6 +18,9 @@ bitwise parity):
   round-4 closeout (packed-complex STFT default, engages at 40x120):
     per_row: 9.277 ms/push  1,103,795 rows/s
     sorted : 8.396 ms/push  1,219,648 rows/s   (+6.5% from packed)
+  round-4 wrap (2026-08-20, tiny-slice readback — post-tax; parity 0 u8):
+    per_row: 8.873 ms/push  1,154,013 rows/s
+    sorted : 7.468 ms/push  1,371,200 rows/s   (the number of record)
 
 Usage: python benchmarks/exp_ref_native_10k.py
 """
