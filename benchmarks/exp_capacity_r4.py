@@ -67,6 +67,25 @@ the ~2-3.6 ms/push D2H harness tax removed; boundary points run twice):
     36,864  17.203 / 17.217 ms                  OVER   (both runs)
     38,912  17.979 ms                           OVER
     -> uniform boundary ~35k (was ~29k with the tax).
+
+RESULT3 (2026-08-20, same session): the DEFAULT layout (init_state
+single palette -> blockwise auto kernel), bracketed for the first time.
+At 10,240 it is the fastest mode (4.419 ms vs uniform 4.794) but the
+advantage ERODES at extreme populations — the per-block scalar-prefetch
+tables scale with the block count while the uniform kernel's SMEM
+scalars are constant:
+
+    32,768  15.734 ms            2,083k rows/s  INSIDE
+    33,792  16.604 / 16.180 ms  ~2,062k rows/s  INSIDE (both runs)
+    34,816  16.573 / 16.805 ms                  STRADDLE — excluded
+    35,840  16.971 ms                           OVER
+    36,864  17.694 ms                           OVER (vs uniform 17.20
+            here — blockwise is now the slower mode)
+    38,912  18.401 ms / 40,960  19.555 ms       OVER
+    -> default/blockwise boundary ~34k: matches uniform's ~35k within
+       the +-1k spread, does NOT extend it.  Uniform remains the
+       max-capacity mode; blockwise remains the best THROUGHPUT mode at
+       serving populations (10k-20k).
 """
 import gc
 import pathlib
