@@ -86,6 +86,13 @@ scalars are constant:
        the +-1k spread, does NOT extend it.  Uniform remains the
        max-capacity mode; blockwise remains the best THROUGHPUT mode at
        serving populations (10k-20k).
+
+  Crossover A/B (same process, alternating uniform/default at 36,864,
+  two rounds each): uniform 17.256 / 17.509 ms, default 17.610 / 17.635
+  — uniform faster in BOTH pairs (0.13-0.35 ms, ~1-2%).  The crossover
+  vs the 10k ordering (blockwise 4.419 < uniform 4.794) is real but
+  SHALLOW; an auto-policy S-threshold would buy <= 2% exactly where both
+  modes are already over budget — ledgered, not implemented.
 """
 import gc
 import pathlib
