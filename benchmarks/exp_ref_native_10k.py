@@ -43,19 +43,29 @@ def make(sort):
     return p
 
 pipes = {"per_row": make(False), "sorted": make(True)}
+import os
+if os.environ.get("E21_UNIFORM", "0") == "1":
+    # scalar set_palette -> SMEM-scalar uniform colormap kernel: the one
+    # published cell still missing for this geometry (uniform at the
+    # north-star population; 4096-stream uniform is in BASELINE.md)
+    pipes = {"uniform": make(True)}
+    ids = 1
 chunk = jnp.asarray(np.random.default_rng(0).standard_normal(
-    (S, pipes["per_row"].chunk_size, 2)).astype(np.float32) * 0.1)
-st_s = pipes["sorted"].set_palette(pipes["sorted"].init_state(S), ids)
-print("sorted engaged =", pipes["sorted"]._state_perm(st_s) is not None,
-      "global =", pipes["sorted"]._tables_perm_global(st_s.tables), flush=True)
-outs = {}
-for n, p in pipes.items():
-    _, r = jax.jit(p.push_impl)(p.set_palette(p.init_state(S), ids), chunk)
-    outs[n] = np.asarray(r)
-d = int(np.abs(outs["sorted"].view(np.uint8).astype(int)
-               - outs["per_row"].view(np.uint8).astype(int)).max())
-print("parity max u8 diff =", d, flush=True)
-assert d == 0
+    (S, pipes[next(iter(pipes))].chunk_size, 2)).astype(np.float32) * 0.1)
+st_s = pipes["sorted"].set_palette(pipes["sorted"].init_state(S), ids) \
+    if "sorted" in pipes else None
+if st_s is not None:
+    print("sorted engaged =", pipes["sorted"]._state_perm(st_s) is not None,
+          "global =", pipes["sorted"]._tables_perm_global(st_s.tables),
+          flush=True)
+    outs = {}
+    for n, p in pipes.items():
+        _, r = jax.jit(p.push_impl)(p.set_palette(p.init_state(S), ids), chunk)
+        outs[n] = np.asarray(r)
+    d = int(np.abs(outs["sorted"].view(np.uint8).astype(int)
+                   - outs["per_row"].view(np.uint8).astype(int)).max())
+    print("parity max u8 diff =", d, flush=True)
+    assert d == 0
 for n, p in pipes.items():
     def scan(state, ch):
         def body(s_, _):
