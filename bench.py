@@ -114,6 +114,17 @@ def main() -> None:
             os.environ.get("BENCH_SORTED_OUTPUT", "0") == "1"
             and os.environ.get("BENCH_PALETTE_SORT", "1") == "1"
         ),
+        # BENCH_PRESORTED=1: the host-sorted drain contract (round 5) —
+        # the chunk arrives with rows already in the carry's sorted order
+        # (production: RingBank pop writes stream e into row
+        # input_dest[e], free on the host) so the device-side per-push
+        # chunk gather never exists.  The bench pre-permutes the constant
+        # chunk once outside the timed scan (same bytes the drain would
+        # deliver).  Requires palette_sort; follows BENCH_PALETTE_SORT=0.
+        presorted_input=(
+            os.environ.get("BENCH_PRESORTED", "0") == "1"
+            and os.environ.get("BENCH_PALETTE_SORT", "1") == "1"
+        ),
         # BENCH_UNPACK_SPLIT: bf16-split `prev` permutation dot in the
         # packed STFT kernel ("auto" = 3 wherever packed engages — BITWISE
         # equal to the HIGHEST dot at -4.3% standalone, exp_unpack_split;
@@ -176,6 +187,10 @@ def main() -> None:
 
     scan_fn = jax.jit(scan_pushes, donate_argnums=0)
     state = init_state()
+    if pipeline.presorted_input:
+        p_in = pipeline.input_perm(state)
+        if p_in is not None:  # deliver what the host-sorted drain would
+            chunk = jnp.asarray(np.asarray(chunk)[p_in])
     state, sums = scan_fn(state, chunk)  # compile + warmup
     np.asarray(sums)
 

@@ -71,7 +71,17 @@ def main() -> None:
         "streaming mode) and let rows leave the device in sorted order; "
         "the drain reindexes via pipeline.output_perm (round 4)",
     )
+    ap.add_argument(
+        "--presorted-input", action="store_true", dest="presorted_input",
+        help="host-sorted drain (round 5): the bank pops each stream "
+        "straight into its SORTED chunk row (pipeline.input_dest -> the "
+        "drain's dest parameter — free, the bank already scatters per "
+        "stream), so the device-side per-push chunk gather never exists. "
+        "Implies --palette-sort's scattered layout",
+    )
     args = ap.parse_args()
+    if args.presorted_input:
+        args.palette_sort = True
 
     cfg = SpectrogramConfig(
         sample_rate=48_000.0,
@@ -82,6 +92,7 @@ def main() -> None:
         cfg, chunk_hops=1, store_ring=False, packed_output=True,
         # palette_sort itself defaults on; the flag opts into sorted_output
         sorted_output=args.palette_sort,
+        presorted_input=args.presorted_input,
     )
     s = args.streams
     bank = RingBank16(s, capacity=8192)
@@ -126,6 +137,14 @@ def main() -> None:
             f"palette_sort: engaged={op is not None} "
             f"(drain indexes rows via output_perm)", flush=True,
         )
+    # Host-sorted drain: the pop scatters stream e into chunk row
+    # input_dest[e]; re-derive after any set_palette (the sort changes).
+    in_dest = (
+        pipeline.input_dest(state0) if args.presorted_input else None
+    )
+    if args.presorted_input:
+        print(f"presorted_input: dest engaged={in_dest is not None}",
+              flush=True)
     feeder = DeviceFeeder(
         pipeline, state0, depth=2, planar=True,
         readback="probe" if args.probe_readback else "full",
@@ -160,9 +179,13 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         chunk, _ = (
-            bank.pop_matrix_i16_planar(pipeline.chunk_size, pool.next())
+            bank.pop_matrix_i16_planar(
+                pipeline.chunk_size, pool.next(), dest=in_dest
+            )
             if args.wire_int16
-            else bank.pop_matrix_f32_planar(pipeline.chunk_size, pool.next())
+            else bank.pop_matrix_f32_planar(
+                pipeline.chunk_size, pool.next(), dest=in_dest
+            )
         )
         done = feeder.push(chunk)
         if done is not None:

@@ -105,6 +105,7 @@ class SpectrogramPipeline:
         stream_blocks="auto",
         palette_sort: bool = True,
         sorted_output: bool = False,
+        presorted_input: bool = False,
         stft_packed="auto",
         stft_unpack_split="auto",
     ):
@@ -428,6 +429,26 @@ class SpectrogramPipeline:
         if sorted_output and not palette_sort:
             raise ValueError("sorted_output requires palette_sort=True")
         self.sorted_output = bool(sorted_output)
+        # presorted_input (opt-in, round 5): the HOST delivers chunk rows
+        # already in the carry's sorted stream order — the drain layer
+        # permutes destination rows at pop time (`RingBank*.pop_matrix*`'s
+        # dest param, fed from `input_dest(state)`; free on the host, the
+        # bank already scatters per stream) — so the device-side per-push
+        # chunk gather (`jnp.take(chunk_pl, perm)` below) never exists.
+        # Contract: whenever `input_perm(state)` is not None the pushed
+        # chunk's row i must carry external stream input_perm(state)[i]'s
+        # PCM (re-query after every set_palette/shard_state — the sort
+        # permutation changes).  Carry-sort mode only: in ring mode the
+        # chunk is never permuted, so a pre-permuted chunk would be wrong.
+        # Stream order at the transport boundary is a host-side free
+        # choice (reference: audio_transform.rs:38-39 pulls per-stream
+        # rings in arbitrary order).
+        if presorted_input and not self.carry_sort_mode:
+            raise ValueError(
+                "presorted_input requires the sorted-carry streaming mode "
+                "(palette_sort=True and store_ring=False)"
+            )
+        self.presorted_input = bool(presorted_input)
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
         if self.stft_lane_pad:
             resample_full_t = self._pad_resample_rows(resample_full_t)
@@ -1021,6 +1042,32 @@ class SpectrogramPipeline:
             self._global_perm(pi[1], s, self._tables_perm_global(state.tables))
         )
 
+    def input_perm(self, state: "StreamState"):
+        """Host-side chunk order for `presorted_input` pipelines: when not
+        None, the pushed chunk's row i must carry external stream
+        input_perm(state)[i]'s PCM (i.e. chunk_sorted = chunk_external
+        [input_perm]).  None whenever the state is unsorted — deliver
+        external order.  Re-query after every set_palette / shard_state:
+        the sort permutation changes with the palette layout."""
+        pi = self._state_perm(state)
+        if pi is None:
+            return None
+        s = state.palette_id.shape[0]
+        return np.asarray(
+            self._global_perm(pi[0], s, self._tables_perm_global(state.tables))
+        )
+
+    def input_dest(self, state: "StreamState"):
+        """Destination-row array for the drain layer (the `dest` parameter
+        of `RingBank*.pop_matrix*`): external stream e's frames land in
+        chunk row input_dest(state)[e].  The inverse permutation of
+        `input_perm`; None when the state is unsorted (drain without
+        dest).  uint64, ready for the native perm drains."""
+        p = self.input_perm(state)
+        if p is None:
+            return None
+        return np.argsort(p).astype(np.uint64)
+
     def unsort_state(self, state: "StreamState") -> "StreamState":
         """Return `state` in external stream order with the palette sort
         dropped (identity for unsorted states): the per-stream tables fall
@@ -1203,7 +1250,8 @@ class SpectrogramPipeline:
         perm, inv = self._state_perm(state)
         perm = perm - jnp.min(perm)
         inv = inv - jnp.min(inv)
-        chunk_pl = jnp.take(chunk_pl, perm, axis=0)
+        if not self.presorted_input:
+            chunk_pl = jnp.take(chunk_pl, perm, axis=0)
         inner = state._replace(tables=(state.tables[0], self._bw_marker()))
         if bs:
             new_state, rgba = self._push_blocked(inner, chunk_pl, bs)
@@ -1292,7 +1340,7 @@ class SpectrogramPipeline:
             # the STFT already sorted, no per-push mag takes.  perm is
             # block-relative, which IS this block's local index space.
             pi = self._state_perm(state)
-            if pi is not None:
+            if pi is not None and not self.presorted_input:
                 chunk_pl = jnp.take(chunk_pl, pi[0], axis=0)
         if self.tsplit_framing:
             return self._push_fused_tsplit(state, chunk_pl)

@@ -1007,6 +1007,67 @@ def test_palette_sort_sorted_output(rng):
     np.testing.assert_array_equal(np.asarray(o_u), np.asarray(o_pr2))
 
 
+def test_presorted_input_parity(rng):
+    """presorted_input=True (the host-sorted drain): the host delivers the
+    chunk with rows already permuted into the carry's sorted order
+    (chunk_sorted = chunk_external[input_perm(state)]) and the device-side
+    per-push chunk gather is skipped — outputs and carries bitwise-match
+    the normal sorted pipeline.  Covers the block-relative sorted class,
+    the GLOBAL sorted class (stream blocking), and the unsorted (uniform)
+    fall-through where input_perm is None and chunks pass unpermuted.
+    input_dest inverts input_perm for the drain layer's dest parameter."""
+    import pytest
+
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    with pytest.raises(ValueError, match="presorted_input requires"):
+        SpectrogramPipeline(CFG, presorted_input=True, palette_sort=False,
+                            **kw)
+    with pytest.raises(ValueError, match="presorted_input requires"):
+        SpectrogramPipeline(CFG, presorted_input=True, chunk_hops=1,
+                            packed_output=True, stft_backend="pallas",
+                            colormap_backend="pallas", kernel_interpret=True)
+    for S, BS in ((256, 0), (512, 128)):  # block-relative / global sorted
+        ids = (np.arange(S) % 2).astype(np.int32)
+        p = SpectrogramPipeline(CFG, stream_blocks=BS, **kw)
+        p_pi = SpectrogramPipeline(CFG, stream_blocks=BS,
+                                   presorted_input=True, **kw)
+        s = p.set_palette(p.init_state(S), ids)
+        assert (p._tables_perm_global(s.tables) == (BS > 0)), (S, BS)
+        perm = p.input_perm(s)
+        dest = p.input_dest(s)
+        assert perm is not None and perm.shape == (S,)
+        # dest inverts perm: scattering external rows to dest reproduces
+        # the gathered sorted order
+        assert (np.arange(S)[perm][dest] == np.arange(S)).all()
+        # push donates the state: give each pipeline its own (identical)
+        s_pi = p_pi.set_palette(p_pi.init_state(S), ids)
+        for _ in range(2):
+            chunk = jnp.asarray(
+                rng.standard_normal((S, p.chunk_size, 2)).astype(np.float32)
+                * 0.2
+            )
+            s, o = p.push(s, chunk)
+            s_pi, o_pi = p_pi.push(s_pi, jnp.asarray(np.asarray(chunk)[perm]))
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(o_pi))
+        np.testing.assert_array_equal(
+            np.asarray(s.carry), np.asarray(s_pi.carry)
+        )
+    # unsorted (uniform) states: input_perm None, chunks pass unpermuted
+    p_pi = SpectrogramPipeline(CFG, presorted_input=True, **kw)
+    p_u = SpectrogramPipeline(CFG, **kw)
+    S = 128
+    s_u = p_pi.set_palette(p_pi.init_state(S), 2)
+    assert p_pi.input_perm(s_u) is None and p_pi.input_dest(s_u) is None
+    chunk = jnp.asarray(
+        rng.standard_normal((S, p_pi.chunk_size, 2)).astype(np.float32) * 0.2
+    )
+    _, o_a = p_pi.push(s_u, chunk)
+    _, o_b = p_u.push(p_u.set_palette(p_u.init_state(S), 2), chunk)
+    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_b))
+
+
 def test_palette_sort_default_on_and_unsort_state(rng):
     """palette_sort defaults ON (measured +13% at 10,240 scattered streams
     on v5e, exp_palette_sort): a default pipeline sorts an eligible
