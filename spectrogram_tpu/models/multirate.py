@@ -38,6 +38,9 @@ class StreamGroup:
     feeder: object = None        # io.feeder.DeviceFeeder (ingest mode)
     pinned: object = None        # io.feeder.ChunkPool (rotating drain buffers)
     next_due: float = 0.0        # next hop-tick deadline (group clock)
+    steps: dict = dataclasses.field(default_factory=dict)  # mesh-mode
+    # shard_map push steps, keyed by the state's palette-table class (the
+    # table specs differ between per-stream / uniform / sorted states)
 
     @property
     def n_streams(self) -> int:
@@ -66,10 +69,34 @@ class StreamGroupManager:
         ring_capacity: int = 16384,
         feeder_depth: int = 2,
         wire_int16: bool = False,
+        mesh=None,
         **pipeline_kwargs,
     ):
         self.group_capacity = int(group_capacity)
         self.pipeline_kwargs = dict(pipeline_kwargs)
+        # mesh (direct mode): every geometry group's lockstep state lives
+        # stream-sharded on the jax.sharding.Mesh; push_group routes
+        # through parallel.mesh.shard_map_step (psum row metrics over
+        # ICI), set_palette re-places mutated states per shard slice.
+        # Ingest ticking stays single-process per host BY DESIGN — in the
+        # multi-host deployment PCM never crosses DCN (one manager per
+        # process over its host-local shard, parallel/distributed.py), so
+        # mesh+ingest in one manager is a topology error, not a feature.
+        if mesh is not None:
+            if ingest:
+                raise ValueError(
+                    "mesh + ingest in one manager is unsupported: host "
+                    "ingest shards are per-process (PCM never crosses "
+                    "DCN) — run one ingest manager per process, or use "
+                    "mesh mode with push_group"
+                )
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            if self.group_capacity % n_dev:
+                raise ValueError(
+                    f"group_capacity {self.group_capacity} must divide "
+                    f"evenly over the {n_dev}-device mesh"
+                )
+        self.mesh = mesh
         # ingest=True wires each geometry group to its own host RingBank16 +
         # DeviceFeeder: producers push int16 PCM by stream id, and `tick`
         # advances every group at ITS OWN hop cadence (the "ragged time"
@@ -94,7 +121,17 @@ class StreamGroupManager:
         group = self._groups.get(cfg)
         if group is None:
             pipeline = SpectrogramPipeline(cfg, **self.pipeline_kwargs)
-            state = pipeline.init_state(self.group_capacity, palette_id=palette_id)
+            if self.mesh is not None:
+                from spectrogram_tpu.parallel import mesh as pmesh
+
+                state = pmesh.sharded_init(
+                    pipeline, self.group_capacity, self.mesh,
+                    palette_id=palette_id,
+                )
+            else:
+                state = pipeline.init_state(
+                    self.group_capacity, palette_id=palette_id
+                )
             group = StreamGroup(cfg, pipeline, state, [])
             if self.ingest:
                 from spectrogram_tpu.io.feeder import ChunkPool, DeviceFeeder
@@ -119,10 +156,20 @@ class StreamGroupManager:
             slot = group.stream_ids.index(-1)
             # Zero the slot's device state: the new tenant must not inherit
             # the dead stream's carry samples or retained viewport rows
-            # (cross-stream data leakage in a multi-tenant service).
+            # (cross-stream data leakage in a multi-tenant service).  In
+            # carry-sort mode the carry is at rest in SORTED stream order —
+            # zero the slot's sorted row, not row `slot`.
             st = self._state(group)
+            crow = slot
+            pi = group.pipeline._state_perm(st)
+            if pi is not None and group.pipeline.carry_sort_mode:
+                inv = group.pipeline._global_perm(
+                    pi[1], self.group_capacity,
+                    group.pipeline._tables_perm_global(st.tables),
+                )
+                crow = int(np.asarray(inv)[slot])
             self._set_state(group, st._replace(
-                carry=st.carry.at[slot].set(0.0),
+                carry=st.carry.at[crow].set(0.0),
                 ring=st.ring.at[slot].set(0) if st.ring.shape[1] else st.ring,
             ))
             if group.bank is not None:
@@ -144,9 +191,9 @@ class StreamGroupManager:
         # pre-picked kernel tables must track palette_id
         self._set_state(
             group,
-            group.pipeline.set_palette(
+            self._place(group, group.pipeline.set_palette(
                 st, st.palette_id.at[slot].set(palette_id)
-            ),
+            )),
         )
         return stream_id
 
@@ -159,6 +206,35 @@ class StreamGroupManager:
         if group.feeder is not None:
             group.feeder.state = st
         group.state = st
+
+    def _place(self, group: StreamGroup, st: StreamState) -> StreamState:
+        """Mesh mode: re-place a host-mutated state onto the mesh (palette
+        edits rebuild tables on the default device; shard_state also
+        re-sorts palette-sorted states PER SHARD SLICE).  Called at
+        mutation points only — pushed states are already sharded."""
+        if self.mesh is None:
+            return st
+        from spectrogram_tpu.parallel import mesh as pmesh
+
+        return pmesh.shard_state(st, self.mesh, group.pipeline)
+
+    def _mesh_step(self, group: StreamGroup, st: StreamState):
+        """shard_map push step for the state's current palette-table class
+        (per-stream / uniform / sorted states need different table specs);
+        cached per class so layout flips don't retrace unchanged ones."""
+        from spectrogram_tpu.parallel import mesh as pmesh
+
+        key = (
+            len(st.tables),
+            tuple(t.ndim for t in st.tables),
+            bool(st.tables) and st.tables[0].shape[0] == 1,
+        )
+        step = group.steps.get(key)
+        if step is None:
+            step = group.steps[key] = pmesh.shard_map_step(
+                group.pipeline, self.mesh, state=st
+            )
+        return step
 
     def remove_stream(self, stream_id: int) -> None:
         """Detach: the slot keeps computing silence until reused (no
@@ -183,7 +259,20 @@ class StreamGroupManager:
         Returns the group's RGBA rows.
         """
         group = self._groups[cfg]
-        st, rgba = group.pipeline.push(self._state(group), chunk)
+        st = self._state(group)
+        if self.mesh is not None:
+            from spectrogram_tpu.parallel import mesh as pmesh
+            import jax.numpy as jnp
+
+            step = self._mesh_step(group, st)
+            st, rgba, _global_rows = step(
+                st,
+                jax.device_put(
+                    jnp.asarray(chunk), pmesh.chunk_sharding(self.mesh)
+                ),
+            )
+        else:
+            st, rgba = group.pipeline.push(st, chunk)
         self._set_state(group, st)
         return rgba
 
@@ -193,9 +282,9 @@ class StreamGroupManager:
         st = self._state(group)
         self._set_state(
             group,
-            group.pipeline.set_palette(
+            self._place(group, group.pipeline.set_palette(
                 st, st.palette_id.at[slot].set(palette_id)
-            ),
+            )),
         )
 
     # -- ingest mode ------------------------------------------------------------

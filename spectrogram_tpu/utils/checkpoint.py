@@ -195,6 +195,12 @@ def save_sharded(
     # on load, never persisted — keeps checkpoints portable across registry
     # changes and smaller on disk
     payload.pop("tables", None)
+    # streaming states (store_ring=False) carry a ZERO-SIZE ring leaf,
+    # which orbax refuses to serialize; drop empty leaves and let
+    # load_sharded rebuild them from the pipeline template
+    payload = {
+        k: v for k, v in payload.items() if getattr(v, "size", 1) > 0
+    }
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", payload, force=True)
     if jax.process_index() == 0:
@@ -208,6 +214,7 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
     only the shards it owns.  `mesh=None` restores unsharded."""
     import functools
 
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
     path = pathlib.Path(path).resolve()
@@ -261,6 +268,18 @@ def load_sharded(path, pipeline: SpectrogramPipeline, mesh=None) -> StreamState:
             for name in stored_fields
         }
         restored = ckptr.restore(path / "state", abstract)
+    # zero-size leaves (a streaming state's empty ring) are never stored
+    # (orbax rejects them) — rebuild them from the template
+    for name in StreamState._fields:
+        if name != "tables" and name not in restored:
+            want = getattr(template, name)
+            if want.size:
+                raise ValueError(
+                    f"checkpoint is missing field {name!r} but the "
+                    f"pipeline expects {tuple(want.shape)} (store_ring "
+                    f"mismatch between save and load pipelines?)"
+                )
+            restored[name] = jnp.zeros(want.shape, want.dtype)
     # tables are derived state — recompute from the restored palette ids on
     # whatever sharding they landed with (the pick is a per-stream map, so
     # GSPMD keeps it stream-sharded)

@@ -306,3 +306,47 @@ def test_multirate_int16_wire_matches_f32():
     assert len(a) == len(b) > 0
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_multirate_on_mesh(rng):
+    """Mesh mode (round 5): geometry groups live stream-sharded on a
+    jax.sharding.Mesh; push_group routes through shard_map (psum metrics
+    over the mesh) and matches the single-device manager bitwise.
+    set_palette re-places the mutated state on the mesh.  mesh+ingest and
+    non-dividing capacities are rejected."""
+    import jax
+    from spectrogram_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(4)
+    with pytest.raises(ValueError, match="mesh \\+ ingest"):
+        StreamGroupManager(group_capacity=4, mesh=mesh, ingest=True)
+    with pytest.raises(ValueError, match="divide"):
+        StreamGroupManager(group_capacity=6, mesh=mesh)
+
+    kw = dict(group_capacity=4, chunk_hops=2)
+    mgr_m = StreamGroupManager(mesh=mesh, **kw)
+    mgr_1 = StreamGroupManager(**kw)
+    for mgr in (mgr_m, mgr_1):
+        for _ in range(4):
+            mgr.add_stream(CFG_A)
+        mgr.add_stream(CFG_B, palette_id=3)
+    ga = next(g for g in mgr_m.groups() if g.cfg == CFG_A)
+    assert len(ga.state.carry.sharding.device_set) == 4
+    chunk_a = rng.standard_normal(
+        (4, ga.pipeline.chunk_size, 2)).astype(np.float32) * 0.2
+    chunk_b = rng.standard_normal(
+        (4, next(g for g in mgr_m.groups() if g.cfg == CFG_B)
+         .pipeline.chunk_size, 2)).astype(np.float32) * 0.2
+    for cfg, ch in ((CFG_A, chunk_a), (CFG_B, chunk_b)):
+        r_m = mgr_m.push_group(cfg, jnp.asarray(ch))
+        r_1 = mgr_1.push_group(cfg, jnp.asarray(ch))
+        np.testing.assert_array_equal(np.asarray(r_m), np.asarray(r_1))
+    # palette edit mid-stream: state re-placed on the mesh, parity holds
+    mgr_m.set_palette(1, 5)
+    mgr_1.set_palette(1, 5)
+    r_m = mgr_m.push_group(CFG_A, jnp.asarray(chunk_a))
+    r_1 = mgr_1.push_group(CFG_A, jnp.asarray(chunk_a))
+    np.testing.assert_array_equal(np.asarray(r_m), np.asarray(r_1))
+    assert len(ga.state.carry.sharding.device_set) == 4
+    m = mgr_m.metrics()
+    assert m["groups"] == 2 and m["streams"] == 5
