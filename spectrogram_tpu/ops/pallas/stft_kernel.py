@@ -332,7 +332,7 @@ def _packed_hann(w: int, m: int, n1: int, transposed: bool) -> "np.ndarray":
 
 def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
                      *, plan, precision, transposed, lane_pad,
-                     unpack_split=0):
+                     unpack_split=0, ablate=None):
     """Packed-complex four-step + conjugate unpack on an already-Hann'd
     zcat ([ts, n1, 2m] when transposed, else [ts, 2m, n1]); returns
     (rows_l, rows_r): k1h [ts, n2o] magnitude rows each (flat bin
@@ -365,18 +365,44 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
     contract = ((2,), (0,)) if transposed else ((1,), (0,))
     b = jax.lax.dot_general(zcat, f2p_ref[:], (contract, ((), ())), **kw)
     br, bi = b[..., :n2o], b[..., n2o:]                # [ts, n1, n2o]
+    # `ablate` (TIMING-ONLY, never bitwise, never a production path): stop
+    # after a stage prefix and emit rows fabricated from the deepest
+    # computed tensor — every element of that tensor feeds an output, so
+    # nothing is DCE'd.  Stage wall shares = deltas between consecutive
+    # prefixes; the relay-compatible substitute for in-kernel timers
+    # (VERDICT r4 #2).  Stages: "s1" (stage-1 dot), "tw" (+twiddle),
+    # "s2" (+stage-2 dot), "noprev" (full unpack minus the prev
+    # permutation dot), "nounpack" (everything but the magnitude
+    # sqrt/squares), None = the real kernel.
+    if ablate == "s1":
+        return (
+            [br[:, k1] + bi[:, k1] for k1 in range(k1h)],
+            [br[:, k1h + k1] - bi[:, k1h + k1] for k1 in range(k1h)],
+        )
     twr, twi = twcat_ref[:, :n2o], twcat_ref[:, n2o:]
     cr = br * twr - bi * twi
     ci = br * twi + bi * twr
+    if ablate == "tw":
+        return (
+            [cr[:, k1] + ci[:, k1] for k1 in range(k1h)],
+            [cr[:, k1h + k1] - ci[:, k1h + k1] for k1 in range(k1h)],
+        )
     c_cat = jnp.concatenate([cr, ci], axis=1)          # [ts, 2n1, n2o]
     d = jax.lax.dot_general(
         f1full_ref[:], c_cat, (((0,), (1,)), ((), ())), **kw
     )                                                  # [2n1, ts, n2o]
+    if ablate == "s2":
+        return (
+            [d[k1] + d[n1 + k1] for k1 in range(k1h)],
+            [d[k1h + k1] + d[n1 + k1h + k1] for k1 in range(k1h)],
+        )
     # Reversed-lane rows for the unpack: rows k1h..n1-1 of both components
     # through the permutation matmul (ONE batched dot: 32 MXU passes/row
     # at the bench plan vs 128 for the two stages).
     d_hi = jnp.concatenate([d[k1h:n1], d[n1 + k1h :]], axis=0)
-    if unpack_split:
+    if ablate == "noprev":
+        zm_all = d_hi * 0.5  # keep d_hi live without the permutation dot
+    elif unpack_split:
         pbf = prev_ref[:].astype(jnp.bfloat16)         # exact: entries 0/1
         dims = (((2,), (0,)), ((), ()))
         kw1 = dict(preferred_element_type=jnp.float32,
@@ -402,6 +428,10 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
         j2 = (n1 - k1) % n1                            # lane-0 source row
         zmr = zm_all[k1h - 1 - k1] + d[j2] * e0        # Z[-k] (pre-conj)
         zmi = zm_all[n1 - 1 - k1] + d[n1 + j2] * e0
+        if ablate == "nounpack":
+            rows_l.append(ar + zmr)
+            rows_r.append(ai + zmi)
+            continue
         rows_l.append(jnp.sqrt((ar + zmr) ** 2 + (ai - zmi) ** 2))
         rows_r.append(jnp.sqrt((ar - zmr) ** 2 + (ai + zmi) ** 2))
     return rows_l, rows_r
@@ -410,7 +440,7 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
 def _kernel_packed_2d(
     left_ref, right_ref, hann_ref, f2p_ref, twcat_ref, f1full_ref, prev_ref,
     out_l_ref, out_r_ref, *, plan, precision, lane_pad=False,
-    unpack_split=0,
+    unpack_split=0, ablate=None,
 ):
     """Packed-complex kernel body, transposed window planes ([TS, n1, m]
     per channel — the production operand layout; the lane concat into
@@ -422,7 +452,7 @@ def _kernel_packed_2d(
     rows_l, rows_r = _packed_mag_rows(
         zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
         plan=plan, precision=precision, transposed=True, lane_pad=lane_pad,
-        unpack_split=unpack_split,
+        unpack_split=unpack_split, ablate=ablate,
     )
     for k1, (ol, orr) in enumerate(zip(rows_l, rows_r)):
         out_l_ref[:, k1 * n2o : (k1 + 1) * n2o] = ol
@@ -444,6 +474,7 @@ def lane_pad_default(plan: FftPlan) -> bool:
     static_argnames=(
         "cfg", "block_rows", "precision", "interpret", "slice_bins", "plan",
         "lane_pad", "padded_layout", "out_2d", "packed", "unpack_split",
+        "ablate_stage",
     ),
 )
 def stft_mag_fused2(
@@ -460,6 +491,7 @@ def stft_mag_fused2(
     out_2d: bool | None = None,
     packed: bool = False,
     unpack_split: int = 0,
+    ablate_stage: str | None = None,
 ):
     """Fused four-step STFT: (magL, magR) each [N, num_bins], or the full
     [N, N/2] half-spectrum (bin index k = padded-FFT bin k, DC included)
@@ -531,6 +563,11 @@ def stft_mag_fused2(
     if out_2d is None:
         out_2d = lane_pad or flip_supported(plan)
     out_2d = out_2d and (lane_pad or flip_supported(plan))
+    if ablate_stage is not None and not packed:
+        raise ValueError(
+            "ablate_stage is a packed-kernel timing probe (never bitwise); "
+            "it requires packed=True"
+        )
     if packed:
         if not packed_supported(plan, lane_pad):
             raise ValueError(
@@ -543,6 +580,7 @@ def stft_mag_fused2(
         kernel = functools.partial(
             _kernel_packed_2d, plan=plan, precision=precision,
             lane_pad=lane_pad, unpack_split=unpack_split,
+            ablate=ablate_stage,
         )
         extra_consts = (f1full, prev)
     else:
