@@ -332,7 +332,7 @@ def _packed_hann(w: int, m: int, n1: int, transposed: bool) -> "np.ndarray":
 
 def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
                      *, plan, precision, transposed, lane_pad,
-                     unpack_split=0, ablate=None):
+                     unpack_split=0, ablate=None, s1_flat=False):
     """Packed-complex four-step + conjugate unpack on an already-Hann'd
     zcat ([ts, n1, 2m] when transposed, else [ts, 2m, n1]); returns
     (rows_l, rows_r): k1h [ts, n2o] magnitude rows each (flat bin
@@ -363,7 +363,21 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
     k1h = n1 // 2
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
     contract = ((2,), (0,)) if transposed else ((1,), (0,))
-    b = jax.lax.dot_general(zcat, f2p_ref[:], (contract, ((), ())), **kw)
+    if s1_flat and transposed:
+        # Round-5 (exp_stft_ablate): the 3D [ts, n1, 2m] x [2m, 2n2o] form
+        # measured ~2.2x worse per MXU pass than stage 2 — the leading
+        # dims lower as n1-row-tall sub-matmuls that underfill the 128-row
+        # MXU.  Collapsing [ts, n1] into one flat M makes stage 1 a single
+        # fully-tiled [ts*n1, 2m] x [2m, 2n2o] dot.  Bitwise: the per-row
+        # contraction (K order included) is unchanged; only the M tiling
+        # differs.
+        ts_, n1_, k2m = zcat.shape
+        b = jax.lax.dot_general(
+            zcat.reshape(ts_ * n1_, k2m), f2p_ref[:],
+            (((1,), (0,)), ((), ())), **kw
+        ).reshape(ts_, n1_, -1)
+    else:
+        b = jax.lax.dot_general(zcat, f2p_ref[:], (contract, ((), ())), **kw)
     br, bi = b[..., :n2o], b[..., n2o:]                # [ts, n1, n2o]
     # `ablate` (TIMING-ONLY, never bitwise, never a production path): stop
     # after a stage prefix and emit rows fabricated from the deepest
@@ -440,7 +454,7 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
 def _kernel_packed_2d(
     left_ref, right_ref, hann_ref, f2p_ref, twcat_ref, f1full_ref, prev_ref,
     out_l_ref, out_r_ref, *, plan, precision, lane_pad=False,
-    unpack_split=0, ablate=None,
+    unpack_split=0, ablate=None, s1_flat=False,
 ):
     """Packed-complex kernel body, transposed window planes ([TS, n1, m]
     per channel — the production operand layout; the lane concat into
@@ -452,7 +466,7 @@ def _kernel_packed_2d(
     rows_l, rows_r = _packed_mag_rows(
         zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
         plan=plan, precision=precision, transposed=True, lane_pad=lane_pad,
-        unpack_split=unpack_split, ablate=ablate,
+        unpack_split=unpack_split, ablate=ablate, s1_flat=s1_flat,
     )
     for k1, (ol, orr) in enumerate(zip(rows_l, rows_r)):
         out_l_ref[:, k1 * n2o : (k1 + 1) * n2o] = ol
@@ -474,7 +488,7 @@ def lane_pad_default(plan: FftPlan) -> bool:
     static_argnames=(
         "cfg", "block_rows", "precision", "interpret", "slice_bins", "plan",
         "lane_pad", "padded_layout", "out_2d", "packed", "unpack_split",
-        "ablate_stage",
+        "ablate_stage", "s1_flat",
     ),
 )
 def stft_mag_fused2(
@@ -492,6 +506,7 @@ def stft_mag_fused2(
     packed: bool = False,
     unpack_split: int = 0,
     ablate_stage: str | None = None,
+    s1_flat: bool = False,
 ):
     """Fused four-step STFT: (magL, magR) each [N, num_bins], or the full
     [N, N/2] half-spectrum (bin index k = padded-FFT bin k, DC included)
@@ -580,7 +595,7 @@ def stft_mag_fused2(
         kernel = functools.partial(
             _kernel_packed_2d, plan=plan, precision=precision,
             lane_pad=lane_pad, unpack_split=unpack_split,
-            ablate=ablate_stage,
+            ablate=ablate_stage, s1_flat=s1_flat,
         )
         extra_consts = (f1full, prev)
     else:
