@@ -49,9 +49,10 @@ SIZES = [int(a) for a in sys.argv[1:]] or [16384, 4096]
 SCAN_LEN = int(os.environ.get("ABLATE_SCAN", "150"))
 ROUNDS = int(os.environ.get("ABLATE_ROUNDS", "3"))
 # cumulative prefixes, in execution order; "full" = production kernel
-STAGES = ["s1", "tw", "s2", "noprev", "nounpack", "full"]
+# ("hann" = operand DMA + lane concat + Hann only — the pre-dot floor)
+STAGES = ["hann", "s1", "tw", "s2", "noprev", "nounpack", "full"]
 # pass-model cumulative shares of MXU work (s1 384 / s2 +384 / prev +96)
-MODEL_UNITS = {"s1": 384, "tw": 384, "s2": 768, "noprev": 768,
+MODEL_UNITS = {"hann": 0, "s1": 384, "tw": 384, "s2": 768, "noprev": 768,
                "nounpack": 864, "full": 864}
 
 W = BENCH_CONFIG.window_size

@@ -363,6 +363,12 @@ def _packed_mag_rows(zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
     k1h = n1 // 2
     kw = dict(preferred_element_type=jnp.float32, precision=precision)
     contract = ((2,), (0,)) if transposed else ((1,), (0,))
+    if ablate == "hann":
+        # pre-dot prefix: operand DMA + lane concat + Hann multiply only
+        # (rows fabricated from zcat — needs 2m >= n2o lanes, true on the
+        # production plans)
+        rows = [zcat[:, k1 % zcat.shape[1], :n2o] for k1 in range(k1h)]
+        return rows, [r * 0.5 for r in rows]
     if s1_flat and transposed:
         # Round-5 (exp_stft_ablate): the 3D [ts, n1, 2m] x [2m, 2n2o] form
         # measured ~2.2x worse per MXU pass than stage 2 — the leading
