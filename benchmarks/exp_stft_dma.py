@@ -95,6 +95,21 @@ def k_one_op_hann(z_ref, hann_ref, out_ref):
     emit(lambda k1: z[:, k1 % n1, :], out_ref)
 
 
+def k_one_op_i16(z_ref, hann_ref, out_ref):
+    # int16 wire planes: cast + Hann in-kernel (the 1/32768 folds exactly
+    # into the Hann constant — power-of-two, bit-identical); HALF the
+    # input DMA bytes of the f32 operand
+    z = z_ref[:].astype(jnp.float32) * hann_ref[:]
+    emit(lambda k1: z[:, k1 % n1, :], out_ref)
+
+
+def k_two_op_i16(l_ref, r_ref, hann_ref, out_ref):
+    zcat = jnp.concatenate(
+        [l_ref[:], r_ref[:]], axis=2
+    ).astype(jnp.float32) * hann_ref[:]
+    emit(lambda k1: zcat[:, k1 % n1, :], out_ref)
+
+
 def main():
     rng = np.random.default_rng(0)
     left = rng.standard_normal((ROWS, W)).astype(np.float32) * 0.1
@@ -104,6 +119,9 @@ def main():
     r3 = jnp.asarray(np.ascontiguousarray(
         np.swapaxes(right.reshape(ROWS, m, n1), 1, 2)))
     z3 = jnp.concatenate([l3, r3], axis=2)
+    l3_i16 = (l3 * 32768).astype(jnp.int16)
+    r3_i16 = (r3 * 32768).astype(jnp.int16)
+    z3_i16 = jnp.concatenate([l3_i16, r3_i16], axis=2)
     hann = _packed_hann(W, m, n1, transposed=True)  # [n1, 2m]
     hann_j = jnp.asarray(hann)
     out_sds = jax.ShapeDtypeStruct((ROWS, half), jnp.float32)
@@ -129,6 +147,12 @@ def main():
         "one_op_hann": (z3, lambda c: call(
             k_one_op_hann, [op_spec((n1, 2 * m)), const_spec(hann)],
             (c, hann_j))),
+        "one_op_i16": (z3_i16, lambda c: call(
+            k_one_op_i16, [op_spec((n1, 2 * m)), const_spec(hann)],
+            (c, hann_j))),
+        "two_op_i16": (l3_i16, lambda c: call(
+            k_two_op_i16, [op_spec((n1, m))] * 2 + [const_spec(hann)],
+            (c, r3_i16, hann_j))),
     }
 
     scans = {}
@@ -136,7 +160,8 @@ def main():
         def scan(carry, fn=fn):
             def body(c, _):
                 o = fn(c)
-                return c + o[:1, :1, None] * 1e-20, o[0, 0]
+                # dtype-preserving ~0 perturbation (int16 carries included)
+                return c + (o[:1, :1, None] * 1e-20).astype(c.dtype), o[0, 0]
             return jax.lax.scan(body, carry, None, length=SCAN_LEN)
         scans[name] = jax.jit(scan)
         t0 = time.perf_counter()
