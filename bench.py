@@ -125,6 +125,11 @@ def main() -> None:
             os.environ.get("BENCH_PRESORTED", "0") == "1"
             and os.environ.get("BENCH_PALETTE_SORT", "1") == "1"
         ),
+        # BENCH_I16=1: int16 sample planes end-to-end (round 5) — the
+        # wire dtype stays int16 through the carry, framing, and kernel
+        # operands (half the bytes on the kernel's measured DMA
+        # bottleneck); bitwise vs the f32 path fed the same int16 chunks.
+        i16_planes=os.environ.get("BENCH_I16", "0") == "1",
         # BENCH_UNPACK_SPLIT: bf16-split `prev` permutation dot in the
         # packed STFT kernel ("auto" = 3 wherever packed engages — BITWISE
         # equal to the HIGHEST dot at -4.3% standalone, exp_unpack_split;
@@ -145,6 +150,8 @@ def main() -> None:
     pcm = rng.standard_normal(
         (n_streams, 2, pipeline.chunk_size)
     ).astype(np.float32) * 0.1
+    if pipeline.i16_planes:
+        pcm = (pcm * 32767).astype(np.int16)
     chunk = jnp.asarray(pcm if planar else pcm.transpose(0, 2, 1).copy())
     push = pipeline.push_planar_impl if planar else pipeline.push_impl
 

@@ -79,9 +79,18 @@ def main() -> None:
         "stream), so the device-side per-push chunk gather never exists. "
         "Implies --palette-sort's scattered layout",
     )
+    ap.add_argument(
+        "--i16-planes", action="store_true", dest="i16_planes",
+        help="int16 sample planes end-to-end (round 5): the carry, the "
+        "framing, and the STFT kernel operands stay in the wire dtype — "
+        "half the bytes on the kernel's DMA-bound operand leg, bitwise. "
+        "Implies --wire-int16",
+    )
     args = ap.parse_args()
     if args.presorted_input:
         args.palette_sort = True
+    if args.i16_planes:
+        args.wire_int16 = True
 
     cfg = SpectrogramConfig(
         sample_rate=48_000.0,
@@ -93,6 +102,7 @@ def main() -> None:
         # palette_sort itself defaults on; the flag opts into sorted_output
         sorted_output=args.palette_sort,
         presorted_input=args.presorted_input,
+        i16_planes=args.i16_planes,
     )
     s = args.streams
     bank = RingBank16(s, capacity=8192)

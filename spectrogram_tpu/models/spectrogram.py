@@ -106,6 +106,7 @@ class SpectrogramPipeline:
         palette_sort: bool = True,
         sorted_output: bool = False,
         presorted_input: bool = False,
+        i16_planes: bool = False,
         stft_packed="auto",
         stft_unpack_split="auto",
     ):
@@ -449,6 +450,21 @@ class SpectrogramPipeline:
                 "(palette_sort=True and store_ring=False)"
             )
         self.presorted_input = bool(presorted_input)
+        # i16_planes (round 5): keep the PCM sample planes int16 end-to-end
+        # — the wire dtype — so the carry, the framing concats, and the
+        # STFT kernel operands all move HALF the bytes; the kernel casts
+        # in-VMEM and the exact 2^-15 wire scale folds into the Hann
+        # constant (an exponent shift — BITWISE equal to the f32 path fed
+        # int16/32768; proven in tests).  Measured: the packed kernel's
+        # operand leg is its bottleneck (59% of kernel wall,
+        # exp_stft_ablate/exp_stft_dma: f32 operand floor 1.95 ms ->
+        # int16 1.21 at 16,384 rows).  Pushes must supply int16 chunks
+        # (RingBank16.pop_matrix_i16_planar is the matching drain).
+        # Scoped to the k=1 fused packed streaming path — validated below
+        # and re-validated by override_plan (a plan swap can disable the
+        # packed formulation).
+        self.i16_planes = bool(i16_planes)
+        self._validate_i16_planes()
         resample_full_t = cmap_ops.resample_matrix_full(cfg).T
         if self.stft_lane_pad:
             resample_full_t = self._pad_resample_rows(resample_full_t)
@@ -622,6 +638,8 @@ class SpectrogramPipeline:
             if cmap_kernel._banded_worthwhile(segs, *resample_full_t.shape)
             else None
         )
+        # a plan swap can disable the packed formulation i16_planes needs
+        self._validate_i16_planes()
 
     def _pad_resample_rows(self, resample_t: "np.ndarray") -> "np.ndarray":
         """Row-expand a [half, H] resample matrix to the padded bin layout
@@ -661,7 +679,10 @@ class SpectrogramPipeline:
                 (n_streams, 2, n1, self.carry_size // n1), jnp.float32
             )
         else:
-            carry = jnp.zeros((n_streams, 2, self.carry_size), jnp.float32)
+            carry = jnp.zeros(
+                (n_streams, 2, self.carry_size),
+                jnp.int16 if self.i16_planes else jnp.float32,
+            )
         pid = jnp.full((n_streams,), palette_id, jnp.int32)
         tables = self.state_tables_for(pid)
         if (
@@ -1176,6 +1197,41 @@ class SpectrogramPipeline:
         transpose at the ingestion edge."""
         return self.push_planar_impl(state, chunk_planar)
 
+    def _validate_i16_planes(self) -> None:
+        """i16_planes is scoped to the k=1 fused packed streaming path:
+        the XLA fallback paths and the k>1 framing kernels convert at the
+        edge instead (they would need int16 variants of every kernel for
+        a chunk whose transfer is already small relative to compute)."""
+        if not getattr(self, "i16_planes", False):
+            return
+        if not (
+            self.fused_chain
+            and self.stft_packed
+            and self.chunk_hops == 1
+            and not self.carry_transposed
+            and not self.tsplit_framing
+        ):
+            raise ValueError(
+                "i16_planes requires the k=1 fused packed STFT path "
+                f"(fused_chain={self.fused_chain}, "
+                f"stft_packed={self.stft_packed}, "
+                f"chunk_hops={self.chunk_hops})"
+            )
+
+    def _chunk_in(self, chunk: jax.Array) -> jax.Array:
+        """Wire-dtype edge dispatch: i16_planes pipelines keep int16
+        samples raw (the kernel casts in-VMEM, scale folded into Hann);
+        everything else converts via _chunk_f32."""
+        if self.i16_planes:
+            if chunk.dtype != jnp.int16:
+                raise ValueError(
+                    "i16_planes pipelines require int16 chunks (the wire "
+                    f"dtype; RingBank16.pop_matrix_i16_planar); got "
+                    f"{chunk.dtype}"
+                )
+            return chunk
+        return self._chunk_f32(chunk)
+
     @staticmethod
     def _chunk_f32(chunk: jax.Array) -> jax.Array:
         """Wire-dtype edge: float chunks cast to f32; int16 chunks are raw
@@ -1195,7 +1251,7 @@ class SpectrogramPipeline:
                 f"planar chunk must be [S, 2, {self.chunk_size}]; got "
                 f"{chunk_planar.shape}"
             )
-        return self._push_core(state, self._chunk_f32(chunk_planar))
+        return self._push_core(state, self._chunk_in(chunk_planar))
 
     def push_impl(self, state: StreamState, chunk: jax.Array):
         """Advance all streams by one chunk (pure, untraced — used directly
@@ -1216,11 +1272,12 @@ class SpectrogramPipeline:
         # channels-planar (transposing the full carry+chunk buffer instead
         # cost ~0.8 ms/push at 4k streams, trace-verified).  push_planar
         # skips even this when the host supplies planar chunks.
-        chunk_pl = jnp.swapaxes(self._chunk_f32(chunk), 1, 2)  # [S, 2, T]
+        chunk_pl = jnp.swapaxes(self._chunk_in(chunk), 1, 2)  # [S, 2, T]
         return self._push_core(state, chunk_pl)
 
     def _push_core(self, state: StreamState, chunk_pl: jax.Array):
-        if self.sanitize_input:
+        if self.sanitize_input and chunk_pl.dtype == jnp.float32:
+            # int16 wire chunks cannot carry NaN/inf — nothing to scrub
             chunk_pl = jnp.where(jnp.isfinite(chunk_pl), chunk_pl, 0.0)
         bs = self._push_block_streams(chunk_pl.shape[0])
         if self._tables_perm_global(state.tables):

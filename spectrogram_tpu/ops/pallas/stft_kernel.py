@@ -465,9 +465,18 @@ def _kernel_packed_2d(
     """Packed-complex kernel body, transposed window planes ([TS, n1, m]
     per channel — the production operand layout; the lane concat into
     [TS, n1, 2m] happens on loaded VMEM values and measured free,
-    exp_stft_packed pk_ik), flat 2D outputs."""
+    exp_stft_packed pk_ik), flat 2D outputs.
+
+    int16 operands (i16_planes wire mode): the cast to f32 happens here
+    on VMEM values (VPU, fully overlapped with the DMA-bound operand
+    leg) and the caller pre-folds the exact 2^-15 wire scale into
+    hann_ref — bitwise equal to the f32 path fed int16/32768, at HALF
+    the operand DMA bytes (exp_stft_dma: 1.95 -> 1.21 ms at 16,384
+    rows for the two-operand leg)."""
     n2o = padded_n2(plan) if lane_pad else plan.n2
     zcat = jnp.concatenate([left_ref[:], right_ref[:]], axis=2)
+    if zcat.dtype != jnp.float32:
+        zcat = zcat.astype(jnp.float32)
     zcat = zcat * hann_ref[:]
     rows_l, rows_r = _packed_mag_rows(
         zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
@@ -554,6 +563,12 @@ def stft_mag_fused2(
         raise ValueError("padded_layout is a full-half-spectrum format")
     n, w = left.shape
     assert w == cfg.window_size, (w, cfg.window_size)
+    i16_in = left.dtype == jnp.int16
+    if i16_in and not packed:
+        raise ValueError(
+            "int16 sample planes are supported on the packed formulation "
+            "only (i16_planes wire mode)"
+        )
     ts = min(block_rows, n) if n % block_rows else block_rows
     if n % ts:
         pad = ts - n % ts
@@ -597,6 +612,9 @@ def stft_mag_fused2(
             )
         out_2d = True
         hann2 = _packed_hann(w, m, n1, transposed=True)      # [n1, 2m]
+        if i16_in:
+            # exact exponent shift: the int16 wire scale rides the window
+            hann2 = hann2 * np.float32(2.0 ** -15)
         f2cat, twcat, f1full, prev = _packed_plan_constants(plan, lane_pad)
         kernel = functools.partial(
             _kernel_packed_2d, plan=plan, precision=precision,

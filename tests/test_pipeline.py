@@ -1284,3 +1284,41 @@ def test_push_int16_wire_matches_f32(rng):
     s3, out3 = p.push_planar(
         s3, jnp.asarray(words.transpose(0, 2, 1).copy()))
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out3))
+
+
+def test_i16_planes_bitwise(rng):
+    """i16_planes (round 5): the PCM planes stay int16 end-to-end (carry,
+    framing, kernel operands — half the bytes on the kernel's measured
+    DMA bottleneck); the kernel casts in-VMEM with the exact 2^-15 wire
+    scale folded into the Hann constant.  BITWISE equal to the f32
+    pipeline fed the same int16 chunks (which convert at the edge),
+    across carry handoffs and the sorted-carry path."""
+    import pytest
+    from spectrogram_tpu.config import BENCH_CONFIG
+
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    with pytest.raises(ValueError, match="i16_planes requires"):
+        SpectrogramPipeline(CFG, i16_planes=True, **kw)  # no packed plan
+    S = 32
+    p16 = SpectrogramPipeline(BENCH_CONFIG, i16_planes=True, **kw)
+    pf = SpectrogramPipeline(BENCH_CONFIG, **kw)
+    assert p16.stft_packed
+    ids = (np.arange(S) % 2).astype(np.int32)
+    s16 = p16.set_palette(p16.init_state(S), ids)
+    sf = pf.set_palette(pf.init_state(S), ids)
+    assert s16.carry.dtype == jnp.int16
+    for _ in range(2):
+        chunk = jnp.asarray(rng.integers(
+            -32768, 32768, size=(S, p16.chunk_size, 2)).astype(np.int16))
+        s16, o16 = p16.push(s16, chunk)
+        sf, of = pf.push(sf, chunk)
+        np.testing.assert_array_equal(np.asarray(o16), np.asarray(of))
+    np.testing.assert_array_equal(
+        np.asarray(s16.carry).astype(np.float32) * np.float32(2.0 ** -15),
+        np.asarray(sf.carry),
+    )
+    # f32 chunks are rejected (a silent lossy cast would corrupt audio)
+    with pytest.raises(ValueError, match="int16 chunks"):
+        p16.push_impl(s16, jnp.zeros((S, p16.chunk_size, 2), jnp.float32))
