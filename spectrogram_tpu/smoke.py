@@ -283,6 +283,31 @@ def class_packed_off(rng):
     _push_twice(p, 256, rng)
 
 
+def class_i16(rng):
+    """int16 sample planes (round 5, i16_planes=True): the carry/framing/
+    kernel operands stay in the wire dtype, the kernel casts in-VMEM with
+    the 2^-15 scale folded into Hann.  Must compile the int16-operand
+    Mosaic kernel AND match the f32 pipeline fed the same int16 chunks
+    BITWISE."""
+    import jax.numpy as jnp
+
+    s = _n_streams(256)
+    p16 = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+              packed_output=True, i16_planes=True)
+    pf = _pl(_cfg_bench(), chunk_hops=1, store_ring=False,
+             packed_output=True)
+    s16, sf = p16.init_state(s), pf.init_state(s)
+    out16 = outf = None
+    for _ in range(2):
+        chunk = jnp.asarray(
+            (_mk_chunk(rng, s, p16) * 32767).astype(np.int16))
+        s16, out16 = p16.push(s16, chunk)
+        sf, outf = pf.push(sf, chunk)
+    assert (np.asarray(out16) == np.asarray(outf)).all(), (
+        "i16 planes diverged from the f32 pipeline"
+    )
+
+
 def class_blockwise_auto(rng):
     """blockwise_palettes="auto" (round-4-late default): a clustered
     concrete layout must carry the marker and compile the scalar-prefetch
@@ -424,6 +449,7 @@ CLASSES = (
     ("tsplit", class_tsplit),
     ("k1", class_k1),
     ("packed_off", class_packed_off),
+    ("i16", class_i16),
     ("blockwise_auto", class_blockwise_auto),
     ("palette_sort", class_palette_sort),
     ("global_sort", class_global_sort),
