@@ -83,9 +83,23 @@ def tpu_legs(n):
         rng.standard_normal((rows, cfg.window_size)).astype(np.float32))
 
     out = {}
-    # pallas leg (the packed production kernel)
+    # pallas leg: the production kernel for this plan — packed where the
+    # formulation applies (the bench plan), split-real v4 otherwise (the
+    # small-N default plans have n2=64: exactly the kernels whose round-4
+    # compiles blew up)
+    from spectrogram_tpu.ops.mxu_fft import make_plan
+    from spectrogram_tpu.ops.pallas.stft_kernel import (
+        lane_pad_default, packed_supported,
+    )
+
+    plan = make_plan(cfg)
+    use_packed = plan is not None and packed_supported(
+        plan, lane_pad_default(plan))
+
     def pk(l, r):
-        return sk.stft_mag_fused2(l, r, cfg, packed=True, unpack_split=3)
+        return sk.stft_mag_fused2(
+            l, r, cfg, packed=use_packed,
+            unpack_split=3 if use_packed else 0)
 
     try:
         t0 = time.perf_counter()
