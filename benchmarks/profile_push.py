@@ -94,6 +94,10 @@ def main():
         static_palette=(
             int(sp) if sp.lstrip("-").isdigit() else sp
         ) if (sp := os.environ.get("PROFILE_STATIC_PALETTE", "")) else None,
+        # round-5 serving modes: PROFILE_I16=1 (int16 sample planes),
+        # PROFILE_PRESORTED=1 (host-sorted drain contract)
+        i16_planes=os.environ.get("PROFILE_I16", "0") == "1",
+        presorted_input=os.environ.get("PROFILE_PRESORTED", "0") == "1",
     )
     print(
         f"streams={n_streams} precision={precision} fused={pipeline.fused_chain} "
@@ -105,6 +109,8 @@ def main():
     pcm = rng.standard_normal(
         (n_streams, 2, pipeline.chunk_size)
     ).astype(np.float32) * 0.1
+    if pipeline.i16_planes:
+        pcm = (pcm * 32767).astype(np.int16)
     chunk = jnp.asarray(pcm if planar else pcm.transpose(0, 2, 1).copy())
     push = pipeline.push_planar_impl if planar else pipeline.push_impl
     state = pipeline.init_state(n_streams)
