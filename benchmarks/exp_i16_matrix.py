@@ -15,6 +15,15 @@ All four are fed bit-identical sample values (f32 = int16/32768) and
 parity-checked against each other at the first population.
 
 Usage: python benchmarks/exp_i16_matrix.py [S ...] (default 16384 10240)
+
+RESULTS (v5e-1, 2026-08-20, ALL FOUR CASES BITWISE vs f32 on hardware):
+  S=16,384: f32 9.323 / f32_ps 9.160 / i16 8.322 / i16_ps 8.105 ms
+            (i16_ps = 2,021,449 rows/s, -13.1%)
+  S=10,240: f32 5.682 / f32_ps 5.359 / i16 4.888 / i16_ps 4.940
+            (i16 = 2,094,801 rows/s, -14.0%; presorted a wash on top
+            at flat-push populations — the int16 gather is half-cost
+            and fuses)
+Capacity brackets with the serving modes in BASELINE.md (round 5).
 """
 import sys
 import pathlib

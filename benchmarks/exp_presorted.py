@@ -20,6 +20,12 @@ official-bench windows drift ~8%, CLAUDE.md); tiny-slice readback;
 bitwise parity checked at the first population.
 
 Usage: python benchmarks/exp_presorted.py [S ...]   (default 20480 24576)
+
+RESULTS (v5e-1, 2026-08-20, interleaved, bitwise parity on hardware at
+20,480): S=20,480 gather 11.497 -> presorted 10.481 ms/push (-8.8%,
+1,954,026 rows/s); S=24,576 13.958 -> 12.582 (-9.9%, 1,953,323).
+Official-bench follow-ups: 10,240 = 2,014,868 rows/s @ 5.082 (3.36x);
+per-stream capacity re-bracketed ~32k (BASELINE.md round-5 section).
 """
 import sys
 import pathlib

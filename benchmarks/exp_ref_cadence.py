@@ -17,6 +17,12 @@ once; tiny-slice readback.
 
 Usage: python benchmarks/exp_ref_cadence.py [k ...]  (default 1 8 16)
 Env: REFCAD_MODES=scattered,uniform  REFCAD_SCAN=100
+
+RESULTS (v5e-1, 2026-08-20; BASELINE.md table): k=16 (~one push per
+display frame, the reference's real dispatch shape) ~2,304 uniform /
+~1,792 scattered; k=8 ~2,048 / ~1,792; k=1 ~1,280 scattered (budget
+1.2 ms ~ relay jitter — trust the k>=8 rows).  All brackets 256-stream
+grid, boundary points twice.
 """
 import os
 import sys

@@ -27,6 +27,14 @@ upper bound on pure-stage cost and the LAST stages absorb the overlap
 credit.  Read the table as attribution, not gospel.
 
 Usage: python benchmarks/exp_stft_ablate.py [ROWS ...] (default 16384 4096)
+
+RESULTS (v5e-1, 2026-08-20; full table in BASELINE.md): the kernel is
+NOT MXU-bound — the pre-dot prefix (operand DMA + lane concat + Hann,
+stage "hann") is 59.4% of kernel wall at 16,384 rows; the stage-1 dot
+adds 1.7%, twiddle/prev are FREE (overlapped), stage-2 26.6%,
+magnitude 9.9%.  The follow-ups: s1_flat a WASH (exp_stft_s1flat,
++0.1% — Mosaic already tiles the 3D dot); operand decomposition in
+exp_stft_dma -> the shipped i16_planes mode.
 """
 import os
 import sys

@@ -22,6 +22,17 @@ it varies per (n1 row, m lane) — but bf16 operands or reshaped
 multiplies may be).
 
 Usage: python benchmarks/exp_stft_dma.py [ROWS] (default 16384)
+
+RESULTS (v5e-1, 2026-08-20, ROWS=16,384, scan-150 best-of-3):
+  two_op      1.952 ms   (pure two-operand DMA floor)
+  two_op_hann 1.953      (concat + Hann FREE — fully overlapped)
+  one_op      1.604      (fused f32 operand: -18%)
+  one_op_hann 1.607
+  one_op_i16  1.011      (int16 fused: -48% vs production)
+  two_op_i16  1.207      (int16 two-operand: -38% -> the shipped
+                          i16_planes mode, no operand-layout change)
+The kernel is DMA-bound on this leg (exp_stft_ablate: 59.4% of kernel
+wall); conclusion -> i16_planes (models/spectrogram.py).
 """
 import os
 import sys
