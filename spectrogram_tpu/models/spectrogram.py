@@ -1198,24 +1198,28 @@ class SpectrogramPipeline:
         return self.push_planar_impl(state, chunk_planar)
 
     def _validate_i16_planes(self) -> None:
-        """i16_planes is scoped to the k=1 fused packed streaming path:
-        the XLA fallback paths and the k>1 framing kernels convert at the
-        edge instead (they would need int16 variants of every kernel for
-        a chunk whose transfer is already small relative to compute)."""
+        """i16_planes is scoped to the fused packed STFT paths: k=1
+        window planes and the k>1 all-windows kernel (both cast in-VMEM
+        with the wire scale folded into Hann).  The XLA fallback paths,
+        the buf/tsplit/transposed-carry variants, and non-packed plans
+        convert at the edge instead — they would need int16 variants of
+        every kernel."""
         if not getattr(self, "i16_planes", False):
             return
         if not (
             self.fused_chain
             and self.stft_packed
-            and self.chunk_hops == 1
+            and (self.chunk_hops == 1 or self.allk_framing)
             and not self.carry_transposed
             and not self.tsplit_framing
         ):
             raise ValueError(
-                "i16_planes requires the k=1 fused packed STFT path "
-                f"(fused_chain={self.fused_chain}, "
+                "i16_planes requires the fused packed STFT path (k=1 "
+                "planes or k>1 allk framing; "
+                f"fused_chain={self.fused_chain}, "
                 f"stft_packed={self.stft_packed}, "
-                f"chunk_hops={self.chunk_hops})"
+                f"chunk_hops={self.chunk_hops}, "
+                f"allk={getattr(self, 'allk_framing', False)})"
             )
 
     def _chunk_in(self, chunk: jax.Array) -> jax.Array:

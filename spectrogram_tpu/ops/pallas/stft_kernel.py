@@ -868,7 +868,12 @@ def _allk_kernel_packed(
     for r in range(k):
         xl = vl[:, r * hop_rows : r * hop_rows + m, :]
         xr = vr[:, r * hop_rows : r * hop_rows + m, :]
-        zcat = jnp.concatenate([xl, xr], axis=1) * hann   # [ts, 2m, n1]
+        zcat = jnp.concatenate([xl, xr], axis=1)          # [ts, 2m, n1]
+        if zcat.dtype != jnp.float32:
+            # i16_planes wire mode: cast in-VMEM; the 2^-15 scale is
+            # folded into hann by the caller (see _kernel_packed_2d)
+            zcat = zcat.astype(jnp.float32)
+        zcat = zcat * hann
         rows_l, rows_r = _packed_mag_rows(
             zcat, f2p_ref, twcat_ref, f1full_ref, prev_ref,
             plan=plan, precision=precision, transposed=False,
@@ -923,6 +928,11 @@ def stft_mag_fused2_allk(
     n2o = padded_n2(plan) if lane_pad else n2
     half_o = k1h * n2o
     c_rows = (w - h) // n1
+    if buf_l.dtype == jnp.int16 and not packed:
+        raise ValueError(
+            "int16 sample planes are supported on the packed formulation "
+            "only (i16_planes wire mode)"
+        )
     if block_rows is None:
         block_rows = 16
     ts = min(block_rows, s) if s % block_rows else block_rows
@@ -941,6 +951,8 @@ def stft_mag_fused2_allk(
                 f"(lane_pad={lane_pad})"
             )
         hann2 = _packed_hann(w, m, n1, transposed=False)     # [2m, n1]
+        if buf_l.dtype == jnp.int16:
+            hann2 = hann2 * np.float32(2.0 ** -15)  # exact wire-scale fold
         f2cat, twcat, f1full, prev = _packed_plan_constants(plan, lane_pad)
         consts = [hann2, f2cat, twcat, f1full, prev]
         kernel = functools.partial(
@@ -985,7 +997,7 @@ def stft_mag_fused2_allk(
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((s_pad, 2, c_rows, n1), jnp.float32)
+            jax.ShapeDtypeStruct((s_pad, 2, c_rows, n1), buf_l.dtype)
         )
     else:
         body = kernel

@@ -306,6 +306,14 @@ def class_i16(rng):
     assert (np.asarray(out16) == np.asarray(outf)).all(), (
         "i16 planes diverged from the f32 pipeline"
     )
+    # k=8 display mode: the allk packed kernel's int16 variant
+    p16k = _pl(_cfg_bench(), chunk_hops=8, store_ring=False,
+               packed_output=True, i16_planes=True)
+    assert p16k.allk_framing
+    stk = p16k.init_state(s)
+    chunk = jnp.asarray((_mk_chunk(rng, s, p16k) * 32767).astype(np.int16))
+    stk, outk = p16k.push(stk, chunk)
+    assert np.asarray(outk).any()
 
 
 def class_blockwise_auto(rng):

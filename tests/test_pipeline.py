@@ -1322,3 +1322,16 @@ def test_i16_planes_bitwise(rng):
     # f32 chunks are rejected (a silent lossy cast would corrupt audio)
     with pytest.raises(ValueError, match="int16 chunks"):
         p16.push_impl(s16, jnp.zeros((S, p16.chunk_size, 2), jnp.float32))
+    # k>1 display mode: the allk packed kernel takes int16 planes too
+    S8 = 16
+    kw8 = dict(kw, chunk_hops=8)
+    p16k = SpectrogramPipeline(BENCH_CONFIG, i16_planes=True, **kw8)
+    pfk = SpectrogramPipeline(BENCH_CONFIG, **kw8)
+    assert p16k.allk_framing
+    s16k, sfk = p16k.init_state(S8), pfk.init_state(S8)
+    for _ in range(2):
+        chunk = jnp.asarray(rng.integers(
+            -32768, 32768, size=(S8, p16k.chunk_size, 2)).astype(np.int16))
+        s16k, o16k = p16k.push(s16k, chunk)
+        sfk, ofk = pfk.push(sfk, chunk)
+        np.testing.assert_array_equal(np.asarray(o16k), np.asarray(ofk))
