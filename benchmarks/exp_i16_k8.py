@@ -6,6 +6,12 @@ step, so its operand DMA share is even larger than the k=1 kernel's.
 Interleaved f32-vs-i16 at chunk_hops=8, per-stream scattered layout.
 
 Usage: python benchmarks/exp_i16_k8.py [S ...]  (default 4096 10240)
+
+RESULTS (v5e-1, 2026-08-20, interleaved, bitwise at 4,096):
+  S=4,096:  f32 20.227 -> i16 17.777 ms/8-hop (-12.1%, 1,843,283 rows/s)
+  S=10,240: f32 53.407 -> i16 39.595 (-25.9%, 2,068,928 rows/s)
+(this harness's f32 baselines read above the official scan-150 rows
+— window drift; the interleaved deltas are the evidence)
 """
 import sys
 import pathlib
