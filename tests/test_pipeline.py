@@ -1335,3 +1335,28 @@ def test_i16_planes_bitwise(rng):
         s16k, o16k = p16k.push(s16k, chunk)
         sfk, ofk = pfk.push(sfk, chunk)
         np.testing.assert_array_equal(np.asarray(o16k), np.asarray(ofk))
+
+
+def test_i16_planes_checkpoint_roundtrip(rng, tmp_path):
+    """int16-plane states (i16 carry) survive an npz checkpoint cycle:
+    dtype preserved, post-restore pushes bitwise."""
+    from spectrogram_tpu.config import BENCH_CONFIG
+    from spectrogram_tpu.utils.checkpoint import load_state, save_state
+
+    kw = dict(chunk_hops=1, packed_output=True, stft_backend="pallas",
+              colormap_backend="pallas", kernel_interpret=True,
+              store_ring=False)
+    p = SpectrogramPipeline(BENCH_CONFIG, i16_planes=True, **kw)
+    S = 16
+    st = p.init_state(S)
+    ch = jnp.asarray(rng.integers(
+        -32768, 32768, size=(S, p.chunk_size, 2)).astype(np.int16))
+    st, _ = p.push(st, ch)
+    save_state(tmp_path / "ck.npz", st, p.cfg, pipeline=p)
+    r = load_state(tmp_path / "ck.npz", p)
+    assert r.carry.dtype == jnp.int16
+    ch2 = jnp.asarray(rng.integers(
+        -32768, 32768, size=(S, p.chunk_size, 2)).astype(np.int16))
+    _, a = p.push(st, ch2)
+    _, b = p.push(r, ch2)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
